@@ -1,0 +1,228 @@
+"""Command-line driver.
+
+Flag surface and behavior mirror the reference's getopt_long loop
+(`src/phylonium.cxx:89-299`):
+
+  -2, --2pass            two-pass algorithm (recompute with the most
+                         central genome as reference)
+  -b, --bootstrap=N      print N-1 additional bootstrap matrices
+                         (the reference stores N-1, src/phylonium.cxx:179)
+  --complete-deletion    restrict to columns covered in every genome
+  --distance=OPT         raw | jc | ani (bad values: soft error, ignored)
+  -p FILE                write reference positions/segsites to FILE
+                         (implies complete deletion; refuses to overwrite)
+  --progress[=WHEN]      always | auto | never (default auto: stderr TTY)
+  -r FILE                set the reference genome (file list is dedup'd
+                         and sorted with the reference included,
+                         src/phylonium.cxx:384-391)
+  -t, --threads=N        host thread count
+  -v, --verbose          additional information (repeatable)
+  -h, --help / --version
+
+TPU-specific additions:
+  --esa-backend=B        native | numpy | auto
+  --count-backend=B      device | numpy | auto
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from phylonium_tpu import __version__
+from phylonium_tpu.config import PROG, RunConfig
+from phylonium_tpu.core.pipeline import process
+from phylonium_tpu.core.reference_pick import pick_first_pass, pick_second_pass
+from phylonium_tpu.data.sequence import join
+from phylonium_tpu.io.fasta import read_genome
+from phylonium_tpu.io.phylip import print_matrix
+
+USAGE = """Usage: phylonium-tpu [OPTIONS] FILES...
+\tFILES... can be any sequence of FASTA files, each file representing one genome.
+
+Options:
+  -2, --2pass          Enable two-pass algorithm
+  -b, --bootstrap=N    Print additional bootstrap matrices
+  --complete-deletion  Delete the whole aligned column in case of gaps
+  -p FILE              Print reference positions to FILE (implies complete deletion)
+    --progress=WHEN    Print a progress bar 'always', 'never', or 'auto'; default: auto
+  -r FILE              Set the reference genome
+  -t, --threads=N      The number of threads to be used; by default, all available processors are used
+  -v, --verbose        Print additional information
+      --distance=OPT   Choose between raw, jc corrected and ANI
+      --esa-backend=B  Index backend: 'native', 'numpy', or 'auto' (default)
+      --count-backend=B  Pair counting: 'device', 'numpy', or 'auto' (default)
+  -h, --help           Display this help and exit
+      --version        Output version information and acknowledgments
+"""
+
+
+def usage(status: int) -> "NoReturn":  # noqa: F821
+    out = sys.stdout if status == 0 else sys.stderr
+    out.write(USAGE)
+    sys.exit(status)
+
+
+def version() -> "NoReturn":  # noqa: F821
+    print(
+        f"phylonium-tpu {__version__}\n"
+        "A TPU-native (JAX/XLA/Pallas) alignment-free distance engine\n"
+        "implementing the method of phylonium (Kloetzl & Haubold 2020)."
+    )
+    sys.exit(0)
+
+
+def cleanup_names(reference_name: str, file_names: list[str]) -> list[str]:
+    """Add the reference, sort, dedup (src/phylonium.cxx:384-391)."""
+    file_names = file_names + [reference_name]
+    return sorted(set(file_names))
+
+
+def parse_args(argv: list[str]) -> tuple[RunConfig, list[str]]:
+    cfg = RunConfig()
+    files: list[str] = []
+    i = 0
+
+    def take_value(flag: str) -> str:
+        nonlocal i
+        i += 1
+        if i >= len(argv):
+            usage(1)
+        return argv[i]
+
+    want_version = False
+    while i < len(argv):
+        arg = argv[i]
+        if arg == "--":
+            files.extend(argv[i + 1 :])
+            break
+        elif arg in ("-2", "--2pass"):
+            cfg.two_pass = True
+        elif arg == "-b" or arg == "--bootstrap" or arg.startswith("--bootstrap="):
+            val = arg.split("=", 1)[1] if "=" in arg else take_value(arg)
+            try:
+                bootstrap = int(val)
+                if bootstrap <= 0:
+                    raise ValueError
+                cfg.bootstrap = bootstrap - 1
+            except ValueError:
+                cfg.soft_error(
+                    f"Expected a positive number for -b argument, but "
+                    f"'{val}' was given. Ignoring -b argument."
+                )
+        elif arg == "--complete-deletion":
+            cfg.complete_deletion = True
+        elif arg == "--distance" or arg.startswith("--distance="):
+            val = arg.split("=", 1)[1] if "=" in arg else take_value(arg)
+            low = val.lower()
+            if low in ("raw", "jc", "ani"):
+                cfg.distance = "jc" if low == "jc" else low
+            else:
+                cfg.soft_error(
+                    f"ignoring argument for --distance '{val}' expected "
+                    "one of 'raw', 'jc', or 'ani'"
+                )
+        elif arg in ("-h", "--help"):
+            usage(0)
+        elif arg == "-p":
+            cfg.print_positions = True
+            cfg.complete_deletion = True
+            cfg.refpos_file_name = take_value(arg)
+        elif arg == "--progress" or arg.startswith("--progress="):
+            val = arg.split("=", 1)[1] if "=" in arg else "always"
+            low = val.lower()
+            if low in ("always", "auto", "never"):
+                cfg.progress = low
+            else:
+                cfg.warn(
+                    f"invalid argument to --progress '{val}'. Expected one "
+                    "of 'auto', 'always', or 'never'."
+                )
+        elif arg == "-r":
+            cfg.reference_name = take_value(arg)
+        elif arg in ("-t", "--threads") or arg.startswith("--threads="):
+            val = arg.split("=", 1)[1] if "=" in arg else take_value(arg)
+            try:
+                cfg.threads = int(val)
+            except ValueError:
+                cfg.warn(
+                    f"Expected a number for -t argument, but '{val}' was "
+                    "given. Ignoring -t argument."
+                )
+        elif arg in ("-v", "--verbose"):
+            cfg.verbose += 1
+        elif arg == "--version":
+            want_version = True
+        elif arg == "--esa-backend" or arg.startswith("--esa-backend="):
+            cfg.esa_backend = (
+                arg.split("=", 1)[1] if "=" in arg else take_value(arg)
+            )
+        elif arg == "--count-backend" or arg.startswith("--count-backend="):
+            cfg.count_backend = (
+                arg.split("=", 1)[1] if "=" in arg else take_value(arg)
+            )
+        elif arg.startswith("-") and arg != "-":
+            usage(1)
+        else:
+            files.append(arg)
+        i += 1
+
+    if want_version:
+        version()
+
+    return cfg, files
+
+
+def main(argv: list[str] | None = None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    cfg, file_names = parse_args(argv)
+
+    if cfg.print_positions:
+        import os
+
+        if os.path.exists(cfg.refpos_file_name):
+            print(
+                f"{PROG}: output file '{cfg.refpos_file_name}' already "
+                "exists",
+                file=sys.stderr,
+            )
+            return 1
+
+    if cfg.reference_name:
+        file_names = cleanup_names(cfg.reference_name, file_names)
+
+    if len(file_names) < 2:
+        usage(1)
+
+    try:
+        queries = [join(read_genome(fn)) for fn in file_names]
+    except OSError as e:
+        # err(errno, ...)-style failure (src/io.cxx:73-74)
+        print(f"{PROG}: {e.filename}: {e.strerror}", file=sys.stderr)
+        return e.errno or 1
+    except ValueError as e:  # FastaError and friends
+        print(f"{PROG}: {e}", file=sys.stderr)
+        return 1
+
+    if cfg.reference_name:
+        reference_index = file_names.index(cfg.reference_name)
+    else:
+        reference_index = pick_first_pass(queries, verbose=bool(cfg.verbose))
+
+    counts = process(queries[reference_index], queries, cfg)
+
+    if cfg.two_pass:
+        reference_index = pick_second_pass(counts)
+        counts = process(queries[reference_index], queries, cfg)
+
+    names = [q.name for q in queries]
+    lengths = np.array([len(q) for q in queries], dtype=np.int64)
+    print_matrix(cfg, names, lengths, counts, reference_index)
+
+    return cfg.return_code
+
+
+if __name__ == "__main__":
+    sys.exit(main())

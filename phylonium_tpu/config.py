@@ -1,0 +1,52 @@
+"""Run configuration and soft-error tracking.
+
+The reference uses a global FLAGS bitfield plus assorted globals
+(`src/global.h:7-23`); here the same knobs live in one dataclass that is
+threaded through the pipeline.  ``soft_error`` mirrors the ``soft_errx``
+macro (`src/global.h:29-43`): warn on stderr and force a failing exit
+code at the end.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+
+PROG = "phylonium-tpu"
+
+
+@dataclass
+class RunConfig:
+    distance: str = "jc"  # 'jc' | 'raw' | 'ani'
+    bootstrap: int = 0  # number of *extra* matrices printed
+    complete_deletion: bool = False
+    print_positions: bool = False
+    refpos_file_name: str = ""
+    verbose: int = 0  # 0 / 1 / 2 (-v -v)
+    progress: str = "auto"  # 'auto' | 'always' | 'never'
+    threads: int = 0  # 0 = all
+    two_pass: bool = False
+    reference_name: str = ""
+    anchor_p_value: float = 0.025
+    esa_backend: str | None = None  # None/'auto' | 'native' | 'numpy'
+    count_backend: str = "auto"  # 'auto' | 'device' | 'numpy'
+    return_code: int = 0
+    _progress_enabled: bool | None = field(default=None, repr=False)
+
+    def soft_error(self, msg: str) -> None:
+        self.return_code |= 1
+        print(f"{PROG}: {msg}", file=sys.stderr)
+
+    def warn(self, msg: str) -> None:
+        print(f"{PROG}: {msg}", file=sys.stderr)
+
+    @property
+    def progress_enabled(self) -> bool:
+        if self._progress_enabled is None:
+            if self.progress == "always":
+                self._progress_enabled = True
+            elif self.progress == "never":
+                self._progress_enabled = False
+            else:
+                self._progress_enabled = sys.stderr.isatty()
+        return self._progress_enabled

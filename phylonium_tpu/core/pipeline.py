@@ -1,0 +1,134 @@
+"""The core pipeline: index -> map -> pileup -> all-pairs counts.
+
+Equivalent of the reference's ``process()`` (`src/process.cxx:408-556`)
+with the comparison phase redesigned for TPU:
+
+1. build the ESA over subject + '#' + revcomp (index backend: C++ or
+   numpy);
+2. compute the minimum anchor length from the subject's GC content
+   (src/process.cxx:416-417);
+3. map every query: anchor chaining -> sort by projected start ->
+   max-chain overlap filter (src/process.cxx:433-458);
+4. optional complete deletion (core genome) and ``-p`` segsite output;
+5. **pileup**: project every genome onto reference columns
+   (core/pileup.py) and compute all-pairs substitution/homolog counts
+   with MXU matmuls (ops/match_matrix.py) — or the numpy oracle for
+   tiny inputs / --count-backend numpy.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from phylonium_tpu.config import RunConfig
+from phylonium_tpu.core.anchor_stats import min_anchor_length
+from phylonium_tpu.core.anchors import anchor_homologies
+from phylonium_tpu.core.complete_deletion import complete_delete
+from phylonium_tpu.core.filter import filter_overlaps_max
+from phylonium_tpu.core.homology import Homology
+from phylonium_tpu.core.pileup import build_pileup
+from phylonium_tpu.core.segsites import write_refpos
+from phylonium_tpu.data.sequence import Sequence, gc_content
+from phylonium_tpu.index.esa import ESAIndex
+from phylonium_tpu.model.evo import EvoCounts
+
+
+def map_queries(
+    ref: ESAIndex,
+    threshold: int,
+    queries: list[Sequence],
+    cfg: RunConfig,
+) -> list[list[Homology]]:
+    """Anchor-map every query against the index ("Mapping" phase)."""
+    n = len(queries)
+    homologies: list[list[Homology]] = [None] * n  # type: ignore
+
+    show = cfg.progress_enabled
+    if show:
+        sys.stderr.write(
+            f"Mapping {n} sequences: {0.0:5.1f}% (0/{n})"
+        )
+        sys.stderr.flush()
+
+    # Native backend maps entire batches in C++/OpenMP.
+    if ref.backend_name == "native":
+        native_out = ref._native.map_queries(
+            [q.as_array() for q in queries], threshold
+        )
+    else:
+        native_out = None
+
+    for j in range(n):
+        if native_out is not None:
+            homologies[j] = native_out[j]
+        else:
+            hv = anchor_homologies(ref, threshold, queries[j])
+            hv.sort(key=lambda h: h.start())
+            homologies[j] = filter_overlaps_max(hv)
+        if show:
+            progress = 100.0 * (j + 1) / n
+            sys.stderr.write(
+                f"\rMapping {n} sequences: {progress:5.1f}% ({j + 1}/{n})"
+            )
+            sys.stderr.flush()
+
+    if show:
+        sys.stderr.write(", done.\n")
+        sys.stderr.flush()
+
+    return homologies
+
+
+def pair_counts(
+    states: np.ndarray, cfg: RunConfig
+) -> tuple[np.ndarray, np.ndarray]:
+    backend = cfg.count_backend
+    if backend == "numpy":
+        from phylonium_tpu.ops.match_table import pair_counts_numpy
+
+        return pair_counts_numpy(states)
+    from phylonium_tpu.ops.match_matrix import pair_counts_device
+
+    return pair_counts_device(states)
+
+
+def process(
+    subject: Sequence, queries: list[Sequence], cfg: RunConfig
+) -> EvoCounts:
+    n = len(queries)
+
+    ref = ESAIndex(subject, backend=cfg.esa_backend)
+    gc = gc_content(subject.nucl)
+    threshold = min_anchor_length(cfg.anchor_p_value, gc, ref.size)
+
+    if cfg.verbose:
+        print(f"ref: {subject.name}", file=sys.stderr)
+
+    homologies = map_queries(ref, threshold, queries, cfg)
+
+    if cfg.complete_deletion:
+        homologies = complete_delete(homologies)
+
+    query_arrays = [q.as_array() for q in queries]
+    states = build_pileup(query_arrays, homologies, len(subject))
+
+    if cfg.print_positions:
+        write_refpos(
+            cfg.refpos_file_name, subject.nucl, states, homologies[0]
+        )
+
+    show = cfg.progress_enabled
+    if show:
+        sys.stderr.write("Comparing the sequences: ")
+        sys.stderr.flush()
+
+    subs, homs = pair_counts(states, cfg)
+
+    if show:
+        sys.stderr.write("done.\n")
+        sys.stderr.flush()
+
+    counts = EvoCounts(subs, homs)
+    return counts

@@ -1,0 +1,128 @@
+"""PHYLIP distance-matrix output and warnings.
+
+Formatting parity with the reference (`src/io.cxx:141-233`):
+
+- header line: N;
+- each row: name, then two spaces before every value;
+- JC / raw distances print like C++ ``std::scientific`` at precision 4
+  (``%.4e``); ANI prints like C++ defaultfloat at precision 4 (``%.4g``)
+  — the reference's ``std::dec`` is a no-op for doubles;
+- the diagonal prints as 0.0 regardless of cell content;
+- ``-b`` appends bootstrap replicate matrices;
+- warnings (nan distances; pairwise coverage < 20%) go to stderr *before*
+  the matrix and force a failing exit code (src/io.cxx:106-139);
+- verbose mode appends avg coverage and alignment totals on stderr
+  (src/io.cxx:202-232).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from phylonium_tpu.config import RunConfig
+from phylonium_tpu.model.evo import EvoCounts
+
+
+def _fmt(value: float, ani: bool) -> str:
+    if ani:
+        return f"{value:.4g}"
+    return f"{value:.4e}"
+
+
+def format_matrix(names: list[str], dist: np.ndarray, ani: bool) -> str:
+    n = len(names)
+    lines = [str(n)]
+    for i in range(n):
+        row = [names[i]]
+        for j in range(n):
+            v = 0.0 if i == j else float(dist[i, j])
+            row.append(_fmt(v, ani))
+        lines.append("  ".join(row))
+    return "\n".join(lines) + "\n"
+
+
+def estimate(counts: EvoCounts, distance: str) -> np.ndarray:
+    if distance == "raw":
+        return counts.estimate_raw()
+    if distance == "ani":
+        return counts.estimate_ani()
+    return counts.estimate_jc()
+
+
+def print_warnings(
+    cfg: RunConfig,
+    names: list[str],
+    lengths: np.ndarray,
+    dist: np.ndarray,
+    counts: EvoCounts,
+) -> None:
+    n = len(names)
+    cov = counts.coverage(lengths)
+    for i in range(n):
+        for j in range(i):
+            d = dist[i, j]
+            if np.isnan(d):
+                cfg.soft_error(
+                    f"For the two sequences '{names[i]}' and '{names[j]}' "
+                    "the distance computation failed and is reported as nan."
+                )
+            else:
+                cov1 = cov[i, j]
+                cov2 = counts.homologs[i, j] / lengths[j]
+                if cov1 < 0.2 or cov2 < 0.2:
+                    cfg.soft_error(
+                        f"For the two sequences '{names[i]}' and "
+                        f"'{names[j]}' less than 20% homology were found "
+                        f"({cov1:f} and {cov2:f}, respectively)."
+                    )
+
+
+def print_matrix(
+    cfg: RunConfig,
+    names: list[str],
+    lengths: np.ndarray,
+    counts: EvoCounts,
+    reference_index: int,
+    out=None,
+) -> None:
+    out = out or sys.stdout
+    ani = cfg.distance == "ani"
+    dist = estimate(counts, cfg.distance)
+
+    print_warnings(cfg, names, lengths, dist, counts)
+
+    out.write(format_matrix(names, dist, ani))
+    if cfg.bootstrap:
+        rng = np.random.default_rng()
+        for _ in range(cfg.bootstrap):
+            boot = counts.bootstrap(rng)
+            out.write(format_matrix(names, estimate(boot, cfg.distance), ani))
+
+    if cfg.verbose:
+        n = len(names)
+        total = 0.0
+        counter = 0
+        for i in range(n):
+            for j in range(i):
+                if np.isnan(dist[i, j]):
+                    continue
+                total += counts.homologs[i, j] / lengths[i]
+                total += counts.homologs[i, j] / lengths[j]
+                counter += 2
+        avg = total / counter if counter else float("nan")
+        aln_aligned = 0
+        aln_total = 0
+        for i in range(n):
+            if i == reference_index:
+                continue
+            aln_aligned += int(counts.homologs[reference_index, i])
+            aln_total += int(lengths[i])
+        # C++ cerr default formatting: defaultfloat, precision 6 (%.6g)
+        print(f"avg coverage:\t{avg:.6g}", file=sys.stderr)
+        frac = aln_aligned / aln_total if aln_total else float("nan")
+        print(
+            f"alignment:\t{aln_aligned}\t{aln_total}\t{frac:.6g}",
+            file=sys.stderr,
+        )

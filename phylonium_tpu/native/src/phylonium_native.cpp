@@ -1,0 +1,648 @@
+// phylonium-tpu native host library.
+//
+// Host-side compute for the TPU-native distance engine: suffix-array
+// construction (SA-IS), longest-prefix-match queries, and the anchor
+// chaining state machine.  This replaces the role of the reference's
+// libdivsufsort + ESA machinery (reference: /root/reference/src/esa.cxx)
+// with an independent implementation built around a k-mer bucketed
+// binary search; results are behaviorally identical (same longest-match
+// spec) and are cross-checked against the numpy oracle in tests.
+//
+// Exposed as a C ABI consumed via ctypes (phylonium_tpu/native/__init__.py).
+//
+// SPDX-License-Identifier: MIT
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+using i64 = int64_t;
+using u8 = uint8_t;
+
+// ---------------------------------------------------------------------------
+// SA-IS suffix array construction (Nong, Zhang & Chan 2009), written from
+// scratch.  Sorts suffixes in plain byte-lexicographic order where a suffix
+// that is a proper prefix of a longer one sorts first — the same order
+// libdivsufsort produces for the reference.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr i64 EMPTY = -1;
+
+struct SaisBuffers {
+    std::vector<i64> bucket;      // bucket boundaries
+};
+
+inline bool is_lms(const std::vector<u8> &types, i64 i) {
+    return i > 0 && types[i] && !types[i - 1];  // S after L
+}
+
+// types[i] = 1 for S-type, 0 for L-type
+template <typename CharT>
+static void classify(const CharT *T, i64 n, std::vector<u8> &types) {
+    types.assign(n, 0);
+    types[n - 1] = 1;  // sentinel is S-type
+    for (i64 i = n - 2; i >= 0; i--) {
+        if (T[i] < T[i + 1])
+            types[i] = 1;
+        else if (T[i] > T[i + 1])
+            types[i] = 0;
+        else
+            types[i] = types[i + 1];
+    }
+}
+
+template <typename CharT>
+static void bucket_sizes(const CharT *T, i64 n, i64 K, std::vector<i64> &cnt) {
+    cnt.assign(K, 0);
+    for (i64 i = 0; i < n; i++) cnt[T[i]]++;
+}
+
+static void bucket_starts(const std::vector<i64> &cnt, std::vector<i64> &out) {
+    out.resize(cnt.size());
+    i64 sum = 0;
+    for (size_t c = 0; c < cnt.size(); c++) {
+        out[c] = sum;
+        sum += cnt[c];
+    }
+}
+
+static void bucket_ends(const std::vector<i64> &cnt, std::vector<i64> &out) {
+    out.resize(cnt.size());
+    i64 sum = 0;
+    for (size_t c = 0; c < cnt.size(); c++) {
+        sum += cnt[c];
+        out[c] = sum;
+    }
+}
+
+template <typename CharT>
+static void induce(const CharT *T, i64 n, i64 K, const std::vector<u8> &types,
+                   const std::vector<i64> &cnt, std::vector<i64> &SA) {
+    std::vector<i64> ptr;
+    // induce L-types left to right from bucket heads
+    bucket_starts(cnt, ptr);
+    for (i64 i = 0; i < n; i++) {
+        i64 j = SA[i];
+        if (j > 0 && !types[j - 1]) {
+            SA[ptr[T[j - 1]]++] = j - 1;
+        }
+    }
+    // induce S-types right to left from bucket ends
+    bucket_ends(cnt, ptr);
+    for (i64 i = n - 1; i >= 0; i--) {
+        i64 j = SA[i];
+        if (j > 0 && types[j - 1]) {
+            SA[--ptr[T[j - 1]]] = j - 1;
+        }
+    }
+}
+
+template <typename CharT>
+static void sais_rec(const CharT *T, i64 n, i64 K, std::vector<i64> &SA) {
+    // T[n-1] must be a unique smallest sentinel (value 0).
+    SA.assign(n, EMPTY);
+    if (n == 1) {
+        SA[0] = 0;
+        return;
+    }
+
+    std::vector<u8> types;
+    classify(T, n, types);
+
+    std::vector<i64> cnt;
+    bucket_sizes(T, n, K, cnt);
+
+    // ---- step 1: sort LMS substrings by induction ----
+    {
+        std::vector<i64> ptr;
+        bucket_ends(cnt, ptr);
+        for (i64 i = n - 1; i > 0; i--) {
+            if (is_lms(types, i)) SA[--ptr[T[i]]] = i;
+        }
+        induce(T, n, K, types, cnt, SA);
+    }
+
+    // collect sorted LMS positions
+    std::vector<i64> lms_sorted;
+    lms_sorted.reserve(n / 2 + 1);
+    for (i64 i = 0; i < n; i++) {
+        if (SA[i] > 0 && is_lms(types, SA[i])) lms_sorted.push_back(SA[i]);
+    }
+    // the sentinel position n-1 is LMS by convention and smallest
+    // (is_lms(n-1) requires types[n-2]==L; if not, it is still first by
+    // induction since T[n-1]=0 is unique smallest and lands at SA[0])
+    i64 n_lms = (i64)lms_sorted.size();
+
+    // ---- step 2: name LMS substrings ----
+    std::vector<i64> name_of(n, EMPTY);
+    i64 names = 0;
+    i64 prev = EMPTY;
+    for (i64 k = 0; k < n_lms; k++) {
+        i64 pos = lms_sorted[k];
+        bool differ = false;
+        if (prev == EMPTY) {
+            differ = true;
+        } else {
+            // compare LMS substrings starting at prev and pos
+            for (i64 d = 0;; d++) {
+                if (T[prev + d] != T[pos + d] ||
+                    types[prev + d] != types[pos + d]) {
+                    differ = true;
+                    break;
+                }
+                if (d > 0 && (is_lms(types, prev + d) ||
+                              is_lms(types, pos + d))) {
+                    differ = !(is_lms(types, prev + d) &&
+                               is_lms(types, pos + d));
+                    break;
+                }
+            }
+        }
+        if (differ) {
+            names++;
+            prev = pos;
+        }
+        name_of[pos] = names - 1;
+    }
+
+    // LMS positions in text order + their names
+    std::vector<i64> lms_text;
+    lms_text.reserve(n_lms);
+    for (i64 i = 0; i < n; i++) {
+        if (is_lms(types, i)) lms_text.push_back(i);
+    }
+
+    std::vector<i64> lms_order(n_lms);
+    if (names < n_lms) {
+        // recurse on the reduced string of names (append handled by the
+        // sentinel name being unique smallest: the last LMS is the
+        // sentinel suffix itself and already named)
+        std::vector<i64> reduced((size_t)lms_text.size());
+        for (size_t k = 0; k < lms_text.size(); k++)
+            reduced[k] = name_of[lms_text[k]];
+        std::vector<i64> sub_sa;
+        sais_rec(reduced.data(), (i64)reduced.size(), names, sub_sa);
+        for (i64 k = 0; k < n_lms; k++) lms_order[k] = lms_text[sub_sa[k]];
+    } else {
+        for (i64 k = 0; k < n_lms; k++)
+            lms_order[name_of[lms_text[k]]] = lms_text[k];
+    }
+
+    // ---- step 3: induce final SA from sorted LMS positions ----
+    SA.assign(n, EMPTY);
+    {
+        std::vector<i64> ptr;
+        bucket_ends(cnt, ptr);
+        for (i64 k = n_lms - 1; k >= 0; k--) {
+            i64 pos = lms_order[k];
+            SA[--ptr[T[pos]]] = pos;
+        }
+        induce(T, n, K, types, cnt, SA);
+    }
+}
+
+}  // namespace
+
+// Build SA over a byte string (no sentinel required from the caller).
+static std::vector<i64> build_sa_bytes(const u8 *s, i64 n) {
+    if (n == 0) return {};
+    // shift bytes by +1 and append sentinel 0
+    std::vector<int32_t> T((size_t)n + 1);
+    for (i64 i = 0; i < n; i++) T[i] = (int32_t)s[i] + 1;
+    T[n] = 0;
+    std::vector<i64> sa_full;
+    sais_rec(T.data(), n + 1, 257, sa_full);
+    // drop the sentinel suffix (always first)
+    return std::vector<i64>(sa_full.begin() + 1, sa_full.end());
+}
+
+// ---------------------------------------------------------------------------
+// Longest-prefix-match index: SA + k-mer bucket acceleration.
+//
+// Spec (matches the reference's get_match_cached result, see
+// phylonium_tpu/index/esa_numpy.py): longest_match(q) = (l, i, j) with l
+// the longest prefix of q occurring in S and [i, j] the inclusive SA range
+// of suffixes carrying that prefix.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Index {
+    std::vector<u8> S;
+    std::vector<i64> SA;
+    i64 n = 0;  // |S|
+
+    // k-mer bucket table: for each ACGT-only k-mer code, the SA range of
+    // suffixes starting with it.
+    static constexpr int KMER = 8;
+    std::vector<i64> bucket_lo;  // size 4^KMER + 1 (lo[c+1] == hi[c])
+    bool has_buckets = false;
+
+    i64 code_of(const u8 *p, i64 avail) const {
+        if (avail < KMER) return -1;
+        i64 code = 0;
+        for (int t = 0; t < KMER; t++) {
+            i64 c;
+            switch (p[t]) {
+                case 'A': c = 0; break;
+                case 'C': c = 1; break;
+                case 'G': c = 2; break;
+                case 'T': c = 3; break;
+                default: return -1;
+            }
+            code = (code << 2) | c;
+        }
+        return code;
+    }
+
+    // lcp of S[sp:] with q[qs:], capped
+    i64 lcp(i64 sp, const u8 *q, i64 qlen, i64 cap) const {
+        i64 m = std::min(cap, std::min(n - sp, qlen));
+        const u8 *a = S.data() + sp;
+        i64 t = 0;
+        for (; t + 8 <= m; t += 8) {
+            uint64_t x, y;
+            std::memcpy(&x, a + t, 8);
+            std::memcpy(&y, q + t, 8);
+            if (x != y) {
+                uint64_t diff = x ^ y;
+                return t + (i64)(__builtin_ctzll(diff) >> 3);
+            }
+        }
+        for (; t < m; t++) {
+            if (a[t] != q[t]) return t;
+        }
+        return m;
+    }
+
+    // compare suffix SA[idx] against prefix q[0:plen]:
+    // <0 suffix smaller, 0 suffix starts with prefix, >0 suffix bigger
+    int cmp_prefix(i64 idx, const u8 *q, i64 plen) const {
+        i64 p = SA[idx];
+        i64 l = lcp(p, q, plen, plen);
+        if (l == plen) return 0;
+        if (p + l >= n) return -1;  // suffix exhausted -> smaller
+        return (int)S[p + l] - (int)q[l];
+    }
+
+    i64 lower_bound(const u8 *q, i64 plen, i64 lo, i64 hi) const {
+        while (lo < hi) {
+            i64 mid = lo + (hi - lo) / 2;
+            if (cmp_prefix(mid, q, plen) < 0)
+                lo = mid + 1;
+            else
+                hi = mid;
+        }
+        return lo;
+    }
+
+    i64 upper_bound(const u8 *q, i64 plen, i64 lo, i64 hi) const {
+        while (lo < hi) {
+            i64 mid = lo + (hi - lo) / 2;
+            if (cmp_prefix(mid, q, plen) <= 0)
+                lo = mid + 1;
+            else
+                hi = mid;
+        }
+        return lo;
+    }
+
+    void build_buckets() {
+        const i64 nb = (i64)1 << (2 * KMER);
+        bucket_lo.assign(nb + 1, 0);
+        // walk the SA once: valid ACGT k-mer codes appear in non-decreasing
+        // order along the SA (suffixes sharing a k-prefix are contiguous);
+        // record the first SA index of each code.
+        std::vector<i64> first(nb, -1);
+        std::vector<i64> last(nb, -1);
+        for (i64 i = 0; i < n; i++) {
+            i64 c = code_of(S.data() + SA[i], n - SA[i]);
+            if (c >= 0) {
+                if (first[c] < 0) first[c] = i;
+                last[c] = i;
+            }
+        }
+        // store ranges; empty codes get lo == hi == 0 (flagged by first<0)
+        bucket_lo.assign(2 * nb, 0);
+        for (i64 c = 0; c < nb; c++) {
+            bucket_lo[2 * c] = first[c];
+            bucket_lo[2 * c + 1] = (first[c] < 0) ? -1 : last[c] + 1;
+        }
+        has_buckets = true;
+    }
+
+    // longest_match: (l, i, j)
+    void longest_match(const u8 *q, i64 qlen, i64 *out_l, i64 *out_i,
+                       i64 *out_j) const {
+        if (qlen <= 0 || n == 0) {
+            *out_l = 0;
+            *out_i = 0;
+            *out_j = std::max(n - 1, (i64)0);
+            return;
+        }
+
+        i64 lo = 0, hi = n;
+        if (has_buckets) {
+            i64 c = code_of(q, qlen);
+            if (c >= 0) {
+                i64 blo = bucket_lo[2 * c];
+                i64 bhi = bucket_lo[2 * c + 1];
+                if (blo >= 0) {
+                    lo = blo;
+                    hi = bhi;
+                }
+                // if bucket empty: match is shorter than KMER; keep the
+                // full range (correct, just slower)
+            }
+        }
+
+        i64 pos = lower_bound(q, qlen, lo, hi);
+        i64 l = 0;
+        if (pos < n) l = lcp(SA[pos], q, qlen, qlen);
+        if (pos > 0) l = std::max(l, lcp(SA[pos - 1], q, qlen, qlen));
+
+        if (l == 0) {
+            *out_l = 0;
+            *out_i = 0;
+            *out_j = n - 1;
+            return;
+        }
+
+        // range of suffixes with prefix q[0:l].  The range is contained in
+        // [lo, hi) only if l >= KMER-match depth; when the bucket was
+        // empty or the match is shorter than KMER, search the full array.
+        i64 slo = 0, shi = n;
+        if (has_buckets) {
+            i64 c = code_of(q, qlen);
+            if (c >= 0 && l >= KMER && bucket_lo[2 * c] >= 0) {
+                slo = bucket_lo[2 * c];
+                shi = bucket_lo[2 * c + 1];
+            }
+        }
+        i64 i = lower_bound(q, l, slo, shi);
+        i64 j = upper_bound(q, l, slo, shi) - 1;
+        *out_l = l;
+        *out_i = i;
+        *out_j = j;
+    }
+};
+
+// ---------------------------------------------------------------------------
+// Anchor chaining (see phylonium_tpu/core/anchors.py for the commented
+// behavioral spec mirroring src/process.cxx:198-295).
+// ---------------------------------------------------------------------------
+
+struct Hom {
+    i64 direction;  // 0 fwd, 1 rev
+    i64 ir;         // index_reference
+    i64 irp;        // index_reference_projected
+    i64 iq;         // index_query
+    i64 len;
+
+    i64 start() const { return irp; }
+    i64 end() const { return irp + len; }
+    bool ends_left_of_start(i64 other_start) const {
+        return end() <= other_start;
+    }
+};
+
+static void reverse_eh(Hom &h, i64 reference_length) {
+    if (h.ir < reference_length) return;
+    h.irp = 2 * reference_length + 1 - h.len - h.ir;
+    h.direction = 1;
+}
+
+static std::vector<Hom> chain_anchors(const Index &idx, i64 threshold,
+                                      const u8 *q, i64 query_length) {
+    std::vector<Hom> hv;
+    const i64 border = idx.n / 2;
+
+    i64 last_pos_Q = 0, last_pos_S = 0, last_length = 0;
+    bool last_was_right_anchor = false;
+
+    i64 this_pos_Q = 0, this_pos_S = 0, this_length = 0;
+
+    Hom current{0, 0, 0, 0, 0};
+
+    auto anchor = [&]() -> bool {
+        i64 l, i, j;
+        idx.longest_match(q + this_pos_Q, query_length - this_pos_Q, &l, &i,
+                          &j);
+        this_length = std::max(l, (i64)0);
+        this_pos_S = idx.SA[i];
+        return i == j && this_length >= threshold;
+    };
+
+    auto lucky_anchor = [&]() -> bool {
+        i64 advance = this_pos_Q - last_pos_Q;
+        i64 gap = this_pos_Q - last_pos_Q - last_length;
+        i64 try_pos_S = last_pos_S + advance;
+
+        if (try_pos_S >= idx.n || gap > threshold) return false;
+
+        this_pos_S = try_pos_S;
+        this_length = idx.lcp(try_pos_S, q + this_pos_Q,
+                              query_length - this_pos_Q,
+                              query_length - this_pos_Q);
+        return this_length >= threshold;
+    };
+
+    while (this_pos_Q < query_length) {
+        if (lucky_anchor() || anchor()) {
+            i64 end_S = last_pos_S + last_length;
+            i64 end_Q = last_pos_Q + last_length;
+            if (this_pos_S > end_S && this_pos_Q - end_Q == this_pos_S - end_S &&
+                (this_pos_S < border) == (last_pos_S < border)) {
+                // right anchor
+                current.len += this_pos_Q - end_Q + this_length;
+                last_was_right_anchor = true;
+            } else {
+                if (last_was_right_anchor || last_length / 2 >= threshold) {
+                    reverse_eh(current, border);
+                    hv.push_back(current);
+                }
+                current = Hom{0, this_pos_S, this_pos_S, this_pos_Q,
+                              this_length};
+                last_was_right_anchor = false;
+            }
+            last_pos_Q = this_pos_Q;
+            last_pos_S = this_pos_S;
+            last_length = this_length;
+        }
+        this_pos_Q += this_length + 1;
+    }
+
+    if (last_length >= query_length) {
+        current = Hom{0, last_pos_S, last_pos_S, 0, query_length};
+    }
+    if (last_was_right_anchor || last_length / 2 >= threshold) {
+        reverse_eh(current, border);
+        hv.push_back(current);
+    }
+
+    return hv;
+}
+
+// max-chain overlap filter (spec: phylonium_tpu/core/filter.py, mirroring
+// src/process.cxx:354-401); pile must be sorted by start.
+static void filter_overlaps_max(std::vector<Hom> &pile) {
+    const i64 size = (i64)pile.size();
+    if (size < 2) return;
+
+    std::vector<i64> predecessor(size, -1);
+    std::vector<i64> score(size + 1, 0);  // score[k+1] belongs to k
+    score[1] = pile[0].len;
+
+    for (i64 i = 1; i < size; i++) {
+        i64 max_value = 0, max_index = -1;
+        for (i64 k = 0; k < i; k++) {
+            if (!pile[k].ends_left_of_start(pile[i].start())) continue;
+            if (score[k + 1] > max_value) {
+                max_value = score[k + 1];
+                max_index = k;
+            }
+        }
+        predecessor[i] = max_index;
+        score[i + 1] = max_value + pile[i].len;
+    }
+
+    i64 best = 0;
+    for (i64 k = 1; k <= size; k++)
+        if (score[k] > score[best]) best = k;
+
+    std::vector<u8> visited(size, 0);
+    i64 index = best - 1;
+    while (index >= 0) {
+        visited[index] = 1;
+        index = predecessor[index];
+    }
+
+    i64 w = 0;
+    for (i64 r = 0; r < size; r++)
+        if (visited[r]) pile[w++] = pile[r];
+    pile.resize(w);
+}
+
+static std::vector<Hom> map_one(const Index &idx, i64 threshold, const u8 *q,
+                                i64 qlen) {
+    auto hv = chain_anchors(idx, threshold, q, qlen);
+    std::stable_sort(hv.begin(), hv.end(), [](const Hom &a, const Hom &b) {
+        return a.start() < b.start();
+    });
+    filter_overlaps_max(hv);
+    return hv;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void *phy_index_build(const u8 *S, i64 m) {
+    auto *idx = new Index();
+    idx->S.assign(S, S + m);
+    idx->n = m;
+    idx->SA = build_sa_bytes(idx->S.data(), m);
+    idx->build_buckets();
+    return idx;
+}
+
+void phy_index_free(void *h) { delete static_cast<Index *>(h); }
+
+i64 phy_index_size(void *h) { return static_cast<Index *>(h)->n; }
+
+const i64 *phy_index_sa(void *h) {
+    return static_cast<Index *>(h)->SA.data();
+}
+
+void phy_longest_match(void *h, const u8 *q, i64 qlen, i64 *out_lij) {
+    static_cast<Index *>(h)->longest_match(q, qlen, out_lij, out_lij + 1,
+                                           out_lij + 2);
+}
+
+// Map one query; returns number of homologies.  *out receives a malloc'd
+// [n, 5] int64 array (direction, ir, irp, iq, len); free with phy_free.
+i64 phy_map_query(void *h, const u8 *q, i64 qlen, i64 threshold, i64 **out) {
+    auto hv = map_one(*static_cast<Index *>(h), threshold, q, qlen);
+    i64 *buf = (i64 *)std::malloc(sizeof(i64) * 5 * std::max(hv.size(), (size_t)1));
+    for (size_t k = 0; k < hv.size(); k++) {
+        buf[5 * k + 0] = hv[k].direction;
+        buf[5 * k + 1] = hv[k].ir;
+        buf[5 * k + 2] = hv[k].irp;
+        buf[5 * k + 3] = hv[k].iq;
+        buf[5 * k + 4] = hv[k].len;
+    }
+    *out = buf;
+    return (i64)hv.size();
+}
+
+// Batch mapping with OpenMP over queries.  Queries are concatenated in
+// `qdata` with offsets[j] .. offsets[j+1].  Returns a malloc'd buffer of
+// all homologies concatenated; counts[j] receives each query's count.
+i64 phy_map_queries(void *h, const u8 *qdata, const i64 *offsets, i64 nq,
+                    i64 threshold, i64 *counts, i64 **out) {
+    const Index &idx = *static_cast<Index *>(h);
+    std::vector<std::vector<Hom>> results(nq);
+
+#pragma omp parallel for schedule(dynamic)
+    for (i64 j = 0; j < nq; j++) {
+        results[j] = map_one(idx, threshold, qdata + offsets[j],
+                             offsets[j + 1] - offsets[j]);
+    }
+
+    i64 total = 0;
+    for (i64 j = 0; j < nq; j++) {
+        counts[j] = (i64)results[j].size();
+        total += counts[j];
+    }
+    i64 *buf = (i64 *)std::malloc(sizeof(i64) * 5 * std::max(total, (i64)1));
+    i64 w = 0;
+    for (i64 j = 0; j < nq; j++) {
+        for (const auto &hm : results[j]) {
+            buf[w++] = hm.direction;
+            buf[w++] = hm.ir;
+            buf[w++] = hm.irp;
+            buf[w++] = hm.iq;
+            buf[w++] = hm.len;
+        }
+    }
+    *out = buf;
+    return total;
+}
+
+void phy_free(void *p) { std::free(p); }
+
+// Standalone suffix array for tests: fills out[n].
+void phy_build_sa(const u8 *s, i64 n, i64 *out) {
+    auto sa = build_sa_bytes(s, n);
+    std::memcpy(out, sa.data(), sizeof(i64) * n);
+}
+
+// Scalar mismatch kernels (host oracle / benchmarking):
+i64 phy_seqcmp(const u8 *a, const u8 *b, i64 len) {
+    i64 cnt = 0;
+    for (i64 t = 0; t < len; t++) cnt += a[t] != b[t];
+    return cnt;
+}
+
+i64 phy_revseqcmp(const u8 *begin, const u8 *other, i64 len) {
+    i64 cnt = 0;
+    for (i64 t = 0; t < len; t++)
+        cnt += ((begin[t] ^ other[len - 1 - t]) & 6) != 4;
+    return cnt;
+}
+
+int phy_version() { return 1; }
+
+}  // extern "C"

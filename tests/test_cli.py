@@ -1,0 +1,186 @@
+"""End-to-end CLI tests (the reference's test/simple.sh tier)."""
+
+import io
+import math
+import sys
+
+import numpy as np
+import pytest
+
+from phylonium_tpu.cli import cleanup_names, main, parse_args
+from phylonium_tpu.io.fasta import FastaError, extract_genome, parse_fasta_bytes
+from tests.conftest import mutate, random_genome
+
+
+def write_fasta(path, name, seq, width=70):
+    with open(path, "w") as f:
+        f.write(f">{name}\n")
+        for i in range(0, len(seq), width):
+            f.write(seq[i : i + width].decode("ascii") + "\n")
+
+
+@pytest.fixture
+def pair_dir(tmp_path):
+    rng = np.random.default_rng(42)
+    ref = random_genome(rng, 20_000)
+    q = mutate(ref, 0.0693, rng)  # ~ JC distance 0.0726
+    write_fasta(tmp_path / "S0.fasta", "S0", ref)
+    write_fasta(tmp_path / "S1.fasta", "S1", q)
+    return tmp_path
+
+
+def run_cli(args, capsys):
+    code = main(args)
+    out = capsys.readouterr().out
+    return code, out
+
+
+def parse_phylip(text):
+    lines = text.strip().splitlines()
+    n = int(lines[0])
+    names, mat = [], []
+    for line in lines[1 : n + 1]:
+        parts = line.split()
+        names.append(parts[0])
+        mat.append([float(x) for x in parts[1:]])
+    return names, np.array(mat)
+
+
+def test_simple_pair(pair_dir, capsys):
+    code, out = run_cli(
+        [str(pair_dir / "S0.fasta"), str(pair_dir / "S1.fasta")], capsys
+    )
+    assert code == 0
+    names, mat = parse_phylip(out)
+    assert names == ["S0", "S1"]
+    assert mat[0, 0] == 0.0 and mat[1, 1] == 0.0
+    assert mat[0, 1] == mat[1, 0]
+    # recover the simulated distance (0.0693 raw before JC correction)
+    raw = 0.0693
+    jc = -0.75 * math.log(1 - 4 / 3 * raw)
+    assert abs(mat[0, 1] - jc) / jc < 0.05
+
+
+def test_distance_raw_and_ani(pair_dir, capsys):
+    code, out = run_cli(
+        ["--distance", "raw", str(pair_dir / "S0.fasta"),
+         str(pair_dir / "S1.fasta")],
+        capsys,
+    )
+    assert code == 0
+    _, raw_mat = parse_phylip(out)
+
+    code, out = run_cli(
+        ["--distance=ani", str(pair_dir / "S0.fasta"),
+         str(pair_dir / "S1.fasta")],
+        capsys,
+    )
+    assert code == 0
+    _, ani_mat = parse_phylip(out)
+    # both sides printed at 4 significant digits
+    assert abs(ani_mat[0, 1] - (1 - raw_mat[0, 1]) * 100) < 5e-3
+
+
+def test_bootstrap_prints_extra_matrices(pair_dir, capsys):
+    code, out = run_cli(
+        ["-b", "3", str(pair_dir / "S0.fasta"), str(pair_dir / "S1.fasta")],
+        capsys,
+    )
+    assert code == 0
+    # -b 3 stores 2 extra matrices (src/phylonium.cxx:179)
+    assert out.count("\n2\n") + out.startswith("2\n") == 3
+
+
+def test_two_pass(pair_dir, capsys):
+    code, out = run_cli(
+        ["-2", str(pair_dir / "S0.fasta"), str(pair_dir / "S1.fasta")],
+        capsys,
+    )
+    assert code == 0
+    names, mat = parse_phylip(out)
+    assert mat[0, 1] > 0
+
+
+def test_reference_flag(pair_dir, capsys):
+    code, out = run_cli(
+        ["-r", str(pair_dir / "S1.fasta"), str(pair_dir / "S0.fasta"),
+         str(pair_dir / "S1.fasta")],
+        capsys,
+    )
+    assert code == 0
+
+
+def test_refpos_output(pair_dir, tmp_path, capsys):
+    refpos = tmp_path / "positions.txt"
+    code, out = run_cli(
+        ["-p", str(refpos), str(pair_dir / "S0.fasta"),
+         str(pair_dir / "S1.fasta")],
+        capsys,
+    )
+    assert code == 0
+    text = refpos.read_text()
+    assert text.startswith(">part1\t")
+    # refuses to overwrite
+    code = main(
+        ["-p", str(refpos), str(pair_dir / "S0.fasta"),
+         str(pair_dir / "S1.fasta")]
+    )
+    assert code == 1
+
+
+def test_bad_bootstrap_is_soft_error(pair_dir, capsys):
+    code, out = run_cli(
+        ["-b", "0", str(pair_dir / "S0.fasta"), str(pair_dir / "S1.fasta")],
+        capsys,
+    )
+    assert code == 1  # soft error still produces output but fails
+    names, _ = parse_phylip(out)
+    assert names == ["S0", "S1"]
+
+
+def test_cleanup_names():
+    assert cleanup_names("b", ["c", "a", "b"]) == ["a", "b", "c"]
+    assert cleanup_names("d", ["c", "a"]) == ["a", "c", "d"]
+
+
+def test_extract_genome():
+    assert extract_genome("path/file.fasta") == "file"
+    assert extract_genome("file.fa") == "file"
+    assert extract_genome("a/b/c.fas") == "c"
+    assert extract_genome("file.txt") == "file.txt"
+    assert extract_genome("noext") == "noext"
+
+
+def test_fasta_parser_errors():
+    with pytest.raises(FastaError, match="empty"):
+        parse_fasta_bytes(b"")
+    with pytest.raises(FastaError, match="start with"):
+        parse_fasta_bytes(b"ACGT\n")
+    with pytest.raises(FastaError, match="Empty sequence"):
+        parse_fasta_bytes(b">name\n")
+    with pytest.raises(FastaError, match="Empty name"):
+        parse_fasta_bytes(b"> \nACGT\n")
+    recs = parse_fasta_bytes(b">a comment here\nAC\nGT\n>b\nTTTT\n")
+    assert recs[0].name == "a"
+    assert recs[0].comment == "comment here"
+    assert recs[0].sequence == b"ACGT"
+    assert recs[1].sequence == b"TTTT"
+
+
+def test_multi_contig_draft_assembly(tmp_path, capsys):
+    rng = np.random.default_rng(5)
+    ref = random_genome(rng, 12_000)
+    q = mutate(ref, 0.02, rng)
+    write_fasta(tmp_path / "ref.fasta", "ref", ref)
+    # query split into 4 contigs in one file
+    with open(tmp_path / "draft.fasta", "w") as f:
+        for k in range(4):
+            f.write(f">contig{k}\n")
+            f.write(q[k * 3000 : (k + 1) * 3000].decode("ascii") + "\n")
+    code, out = run_cli(
+        [str(tmp_path / "ref.fasta"), str(tmp_path / "draft.fasta")], capsys
+    )
+    assert code == 0
+    names, mat = parse_phylip(out)
+    assert set(names) == {"ref", "draft"}
+    assert 0.01 < mat[0, 1] < 0.04
