@@ -1,0 +1,206 @@
+"""Benchmark: eco29-scale all-pairs comparison throughput on one chip.
+
+Simulates an eco29-like panel (29 genomes, 5 Mbp, 1-6% divergence, one
+draft assembly with contig splits and an inversion), runs the full
+pipeline, and measures the comparison phase (the reference's dominant
+O(N^2 * L) cost, src/process.cxx:524-549) on the device.
+
+Prints ONE JSON line:
+  metric       eco29_sim_compare_pairs_per_s
+  value        genome pairs per second through the device counting path
+  unit         pairs/s
+  vs_baseline  speedup vs the host byte-compare oracle (the reference's
+               SIMD-loop equivalent measured on this machine, numpy
+               vectorized) on the same pileup
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def simulate_panel(n=29, length=5_000_000, seed=29):
+    rng = np.random.default_rng(seed)
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    lut = np.zeros(256, np.uint8)
+    for c, b in enumerate(b"ACGT"):
+        lut[b] = c
+
+    ref = rng.choice(acgt, length).tobytes()
+
+    def mutate(s, p):
+        arr = np.frombuffer(s, np.uint8).copy()
+        idx = np.flatnonzero(rng.random(arr.size) < p)
+        arr[idx] = acgt[(lut[arr[idx]] + rng.integers(1, 4, idx.size)) % 4]
+        return arr.tobytes()
+
+    genomes = [ref]
+    for k in range(1, n):
+        g = mutate(ref, 0.01 + 0.05 * (k - 1) / max(n - 2, 1))
+        genomes.append(g)
+
+    # make one a draft assembly: 5 contigs + a 500kb inversion
+    from phylonium_tpu.data.sequence import revcomp
+
+    g = bytearray(genomes[-1])
+    third = length // 3
+    g[third : third + 500_000] = revcomp(bytes(g[third : third + 500_000]))
+    parts = [bytes(g[i::5]) for i in range(0)]  # placeholder no-op
+    contig_len = length // 5
+    genomes[-1] = b"!".join(
+        bytes(g[i * contig_len : (i + 1) * contig_len]) for i in range(5)
+    )
+    return genomes
+
+
+def main():
+    from phylonium_tpu.config import RunConfig
+    from phylonium_tpu.core.anchor_stats import min_anchor_length
+    from phylonium_tpu.core.pileup import build_pileup
+    from phylonium_tpu.core.pipeline import map_queries
+    from phylonium_tpu.data.sequence import Sequence, gc_content
+    from phylonium_tpu.index.esa import ESAIndex
+    from phylonium_tpu.ops.match_matrix import pair_counts_device
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 29
+    length = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000_000
+
+    t0 = time.time()
+    genomes = simulate_panel(n, length)
+    queries = [Sequence(f"S{k}", g) for k, g in enumerate(genomes)]
+    t_sim = time.time() - t0
+
+    cfg = RunConfig(progress="never")
+
+    t0 = time.time()
+    ref = ESAIndex(queries[0])
+    t_index = time.time() - t0
+
+    threshold = min_anchor_length(0.025, gc_content(queries[0].nucl), ref.size)
+
+    t0 = time.time()
+    homologies = map_queries(ref, threshold, queries, cfg)
+    t_map = time.time() - t0
+
+    t0 = time.time()
+    arrays = [q.as_array() for q in queries]
+    states = build_pileup(arrays, homologies, len(queries[0]))
+    t_pileup = time.time() - t0
+
+    # transfer once (as the real pipeline does), then time pure device work
+    import jax
+    import jax.numpy as jnp
+
+    from phylonium_tpu.ops.pallas_match import (
+        DEFAULT_BLOCK_COLS,
+        _pad_rows,
+        _pallas_counts,
+        pair_counts_pallas,
+    )
+    from phylonium_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    t0 = time.time()
+    states_dev = jax.device_put(states)
+    jax.block_until_ready(states_dev)
+    t_transfer = time.time() - t0
+
+    use_pallas = jax.devices()[0].platform == "tpu"
+
+    # full wrapper result (homology counts used below)
+    t0 = time.time()
+    if use_pallas:
+        subs, homs = pair_counts_pallas(states_dev)
+    else:
+        subs, homs = pair_counts_device(states_dev)
+    t_compare_first = time.time() - t0
+
+    # steady-state kernel timing on padded device-resident input
+    block = DEFAULT_BLOCK_COLS
+    n_pad = _pad_rows(n)
+    lpad = (-length) % block
+    padded = jnp.pad(
+        states_dev,
+        ((0, n_pad - n), (0, lpad)),
+        constant_values=10,
+    )
+    jax.block_until_ready(padded)
+    reps = 5
+    if use_pallas:
+        jax.block_until_ready(_pallas_counts(padded, block)[0])
+        t0 = time.time()
+        for _ in range(reps):
+            r = _pallas_counts(padded, block)
+        jax.block_until_ready(r[0])
+    else:
+        jax.block_until_ready(pair_counts_device(states_dev)[0])
+        t0 = time.time()
+        for _ in range(reps):
+            r = pair_counts_device(states_dev)
+    t_compare = (time.time() - t0) / reps
+
+    pairs = n * (n - 1) // 2
+    pairs_per_s = pairs / t_compare
+
+    # host oracle baseline: the reference-style byte loop on a sample of
+    # column range, extrapolated (numpy-vectorized stand-in for seqcmp)
+    from phylonium_tpu.ops.match_table import MATCH_TABLE
+
+    sample_pairs = min(8, pairs)
+    sample_cols = min(length, 2_000_000)
+    t0 = time.time()
+    done = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            if done >= sample_pairs:
+                break
+            a = states[i, :sample_cols]
+            b = states[j, :sample_cols]
+            int(MATCH_TABLE[a, b].sum())
+            int(np.count_nonzero((a != 10) & (b != 10)))
+            done += 1
+        if done >= sample_pairs:
+            break
+    t_host_sample = time.time() - t0
+    host_pairs_per_s = done / (t_host_sample * (length / sample_cols))
+    vs_baseline = pairs_per_s / host_pairs_per_s if host_pairs_per_s else 0.0
+
+    gbp = pairs * length / 1e9
+    detail = {
+        "n_genomes": n,
+        "genome_length": length,
+        "t_simulate": round(t_sim, 3),
+        "t_index": round(t_index, 3),
+        "t_map": round(t_map, 3),
+        "t_pileup": round(t_pileup, 3),
+        "t_transfer": round(t_transfer, 4),
+        "t_compare_first_incl_conv": round(t_compare_first, 4),
+        "t_compare_device": round(t_compare, 4),
+        "kernel": "pallas" if use_pallas else "xla",
+        "compare_gbp_per_s": round(gbp / t_compare, 2),
+        "host_oracle_pairs_per_s": round(host_pairs_per_s, 3),
+        "platform": jax.devices()[0].platform,
+        "mean_offdiag_coverage": round(
+            float(homs[np.triu_indices(n, 1)].mean()) / length, 4
+        ),
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "eco29_sim_compare_pairs_per_s",
+                "value": round(pairs_per_s, 3),
+                "unit": "pairs/s",
+                "vs_baseline": round(vs_baseline, 2),
+                "detail": detail,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -179,6 +179,10 @@ def main(argv: list[str] | None = None) -> int:
         argv = sys.argv[1:]
     cfg, file_names = parse_args(argv)
 
+    from phylonium_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     if cfg.print_positions:
         import os
 

@@ -89,6 +89,17 @@ def pair_counts(
         from phylonium_tpu.ops.match_table import pair_counts_numpy
 
         return pair_counts_numpy(states)
+    if backend == "pallas":
+        from phylonium_tpu.ops.pallas_match import pair_counts_pallas
+
+        return pair_counts_pallas(states)
+    if backend == "auto":
+        import jax
+
+        if jax.devices()[0].platform == "tpu":
+            from phylonium_tpu.ops.pallas_match import pair_counts_pallas
+
+            return pair_counts_pallas(states)
     from phylonium_tpu.ops.match_matrix import pair_counts_device
 
     return pair_counts_device(states)

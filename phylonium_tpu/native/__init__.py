@@ -1,0 +1,193 @@
+"""ctypes bindings for the native host library.
+
+Provides:
+- ``NativeESA``: index build + longest_match + batch query mapping
+  (the C++ counterpart of index/esa_numpy.py + core/anchors.py).
+- ``build_sa``: standalone SA-IS for oracle tests.
+- ``seqcmp`` / ``revseqcmp``: scalar mismatch kernels.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from phylonium_tpu.core.homology import Homology
+from phylonium_tpu.native.build import NativeBuildError, ensure_built
+
+_lib = None
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        path = ensure_built()
+        lib = ctypes.CDLL(str(path))
+
+        lib.phy_index_build.restype = ctypes.c_void_p
+        lib.phy_index_build.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+        ]
+        lib.phy_index_free.argtypes = [ctypes.c_void_p]
+        lib.phy_index_size.restype = ctypes.c_int64
+        lib.phy_index_size.argtypes = [ctypes.c_void_p]
+        lib.phy_index_sa.restype = ctypes.POINTER(ctypes.c_int64)
+        lib.phy_index_sa.argtypes = [ctypes.c_void_p]
+        lib.phy_longest_match.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.phy_map_query.restype = ctypes.c_int64
+        lib.phy_map_query.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+        ]
+        lib.phy_map_queries.restype = ctypes.c_int64
+        lib.phy_map_queries.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+        ]
+        lib.phy_free.argtypes = [ctypes.c_void_p]
+        lib.phy_build_sa.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.phy_seqcmp.restype = ctypes.c_int64
+        lib.phy_seqcmp.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+        ]
+        lib.phy_revseqcmp.restype = ctypes.c_int64
+        lib.phy_revseqcmp.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+        ]
+        _lib = lib
+    return _lib
+
+
+def _u8ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _i64ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def build_sa(s: np.ndarray) -> np.ndarray:
+    lib = get_lib()
+    s = np.ascontiguousarray(s, dtype=np.uint8)
+    out = np.empty(s.size, dtype=np.int64)
+    lib.phy_build_sa(_u8ptr(s), s.size, _i64ptr(out))
+    return out
+
+
+def seqcmp(a: np.ndarray, b: np.ndarray) -> int:
+    lib = get_lib()
+    a = np.ascontiguousarray(a, dtype=np.uint8)
+    b = np.ascontiguousarray(b, dtype=np.uint8)
+    return int(lib.phy_seqcmp(_u8ptr(a), _u8ptr(b), a.size))
+
+
+def revseqcmp(a: np.ndarray, b: np.ndarray) -> int:
+    lib = get_lib()
+    a = np.ascontiguousarray(a, dtype=np.uint8)
+    b = np.ascontiguousarray(b, dtype=np.uint8)
+    return int(lib.phy_revseqcmp(_u8ptr(a), _u8ptr(b), a.size))
+
+
+def _decode_homologies(buf, counts: np.ndarray) -> list[list[Homology]]:
+    total = int(counts.sum())
+    flat = np.ctypeslib.as_array(buf, shape=(total * 5,)).copy()
+    flat = flat.reshape(total, 5)
+    out: list[list[Homology]] = []
+    pos = 0
+    for c in counts:
+        lst = [
+            Homology(int(r[0]), int(r[1]), int(r[2]), int(r[3]), int(r[4]))
+            for r in flat[pos : pos + int(c)]
+        ]
+        out.append(lst)
+        pos += int(c)
+    return out
+
+
+class NativeESA:
+    """C++ suffix index over the doubled text S."""
+
+    def __init__(self, S: np.ndarray):
+        self._lib = get_lib()
+        S = np.ascontiguousarray(S, dtype=np.uint8)
+        self._S = S  # keep alive
+        self._handle = self._lib.phy_index_build(_u8ptr(S), S.size)
+        if not self._handle:
+            raise NativeBuildError("index build failed")
+        n = int(self._lib.phy_index_size(self._handle))
+        sa_ptr = self._lib.phy_index_sa(self._handle)
+        self.SA = np.ctypeslib.as_array(sa_ptr, shape=(n,))
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.phy_index_free(self._handle)
+                self._handle = None
+        except Exception:
+            pass
+
+    def longest_match(self, q: np.ndarray, qs: int, qlen: int
+                      ) -> tuple[int, int, int]:
+        out = np.empty(3, dtype=np.int64)
+        sub = np.ascontiguousarray(q[qs : qs + qlen], dtype=np.uint8)
+        self._lib.phy_longest_match(
+            self._handle, _u8ptr(sub), sub.size, _i64ptr(out)
+        )
+        return int(out[0]), int(out[1]), int(out[2])
+
+    def map_query(self, q: np.ndarray, threshold: int) -> list[Homology]:
+        q = np.ascontiguousarray(q, dtype=np.uint8)
+        buf = ctypes.POINTER(ctypes.c_int64)()
+        n = self._lib.phy_map_query(
+            self._handle, _u8ptr(q), q.size, threshold, ctypes.byref(buf)
+        )
+        counts = np.array([n], dtype=np.int64)
+        out = _decode_homologies(buf, counts)[0]
+        self._lib.phy_free(buf)
+        return out
+
+    def map_queries(
+        self, queries: list[np.ndarray], threshold: int
+    ) -> list[list[Homology]]:
+        qdata = np.concatenate(
+            [np.ascontiguousarray(q, dtype=np.uint8) for q in queries]
+        ) if queries else np.zeros(0, dtype=np.uint8)
+        offsets = np.zeros(len(queries) + 1, dtype=np.int64)
+        np.cumsum([q.size for q in queries], out=offsets[1:])
+        counts = np.zeros(len(queries), dtype=np.int64)
+        buf = ctypes.POINTER(ctypes.c_int64)()
+        self._lib.phy_map_queries(
+            self._handle,
+            _u8ptr(qdata),
+            _i64ptr(offsets),
+            len(queries),
+            threshold,
+            _i64ptr(counts),
+            ctypes.byref(buf),
+        )
+        out = _decode_homologies(buf, counts)
+        self._lib.phy_free(buf)
+        return out

@@ -89,11 +89,15 @@ def pair_counts_device(
     n, length = states.shape
     block = int(min(block, max(256, 1 << (max(length, 1) - 1).bit_length())))
     pad = (-length) % block
-    if pad:
-        states = np.pad(
-            states, ((0, 0), (0, pad)), constant_values=INVALID
-        )
-    matches, homs = _pair_counts_scanned(jnp.asarray(states), block)
+    if isinstance(states, np.ndarray):
+        if pad:
+            states = np.pad(
+                states, ((0, 0), (0, pad)), constant_values=INVALID
+            )
+        states = jnp.asarray(states)
+    elif pad:
+        states = jnp.pad(states, ((0, 0), (0, pad)), constant_values=INVALID)
+    matches, homs = _pair_counts_scanned(states, block)
     matches = np.asarray(matches, dtype=np.int64)
     homs = np.asarray(homs, dtype=np.int64)
     subs = homs - matches

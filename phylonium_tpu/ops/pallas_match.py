@@ -1,0 +1,159 @@
+"""Fused Pallas pair-counting kernel — the flagship device kernel.
+
+The XLA einsum path (ops/match_matrix.py) materializes one-hot planes in
+HBM (~40x the pileup's byte volume).  This kernel streams pileup column
+blocks through VMEM once and does everything on-chip:
+
+    per grid step (one [N_pad, B] uint8 block):
+      valid   = blk != INVALID                  (VPU)
+      homs   += valid @ valid.T                 (MXU)
+      for each state s (static 10-iteration loop):
+        pa    = (blk == s)                      (VPU)
+        qb    = OR_t in partners(s) (blk == t)  (VPU; <=3 compares)
+        macc += pa @ qb.T                       (MXU)
+
+``partners(s)`` enumerates the states matching s per the match table
+(ops/match_table.py) — at most 3, so the whole decode stays in registers
+/ VMEM and HBM traffic is exactly the N*L pileup bytes.
+
+Accumulation is f32 (exact for integer counts < 2^24); the wrapper chunks
+longer pileups and accumulates int64 on host, so results stay bit-exact
+for any genome length.  Equality with the XLA path and the numpy oracle
+is asserted in tests/test_pallas_match.py.
+
+This kernel is the TPU replacement for the reference's AVX/SSE mismatch
+loops (libs/seqcmp*.c, libs/revseqcmp*.c).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from phylonium_tpu.core.pileup import INVALID, N_STATES
+from phylonium_tpu.ops.match_table import MATCH_TABLE
+
+# columns per grid step; lane-dim friendly (multiple of 128)
+DEFAULT_BLOCK_COLS = 4096
+# f32 exactness bound: per-cell counts must stay below 2^24 per kernel call
+_MAX_COLS_PER_CALL = 1 << 23
+
+# partners(s) = states t with MATCH_TABLE[s, t] == 1 (static)
+_PARTNERS: tuple[tuple[int, ...], ...] = tuple(
+    tuple(int(t) for t in np.flatnonzero(MATCH_TABLE[s, :N_STATES]))
+    for s in range(N_STATES)
+)
+
+
+def _count_kernel(states_ref, matches_ref, homs_ref):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        matches_ref[:] = jnp.zeros_like(matches_ref)
+        homs_ref[:] = jnp.zeros_like(homs_ref)
+
+    # widen to i32 for the VPU compares (Mosaic has no i8 compare on v5e)
+    blk = states_ref[:].astype(jnp.int32)  # [N_pad, B]
+
+    def outer(x, y):
+        return jax.lax.dot_general(
+            x,
+            y,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    valid = (blk != INVALID).astype(jnp.bfloat16)
+    homs_ref[:] += outer(valid, valid)
+
+    macc = jnp.zeros_like(matches_ref)
+    for s in range(N_STATES):
+        pa = (blk == s).astype(jnp.bfloat16)
+        partners = _PARTNERS[s]
+        qb = blk == partners[0]
+        for t in partners[1:]:
+            qb = qb | (blk == t)
+        macc = macc + outer(pa, qb.astype(jnp.bfloat16))
+    matches_ref[:] += macc
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def _pallas_counts(states: jnp.ndarray, block: int, interpret: bool = False):
+    n_pad, length = states.shape
+    grid = (length // block,)
+
+    matches, homs = pl.pallas_call(
+        _count_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (n_pad, block), lambda i: (0, i), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (n_pad, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (n_pad, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(states)
+    return matches, homs
+
+
+def _pad_rows(n: int) -> int:
+    # sublane-friendly row count: the uint8 input's min tile is (32, 128)
+    return max(32, -(-n // 32) * 32)
+
+
+def pair_counts_pallas(
+    states, block: int = DEFAULT_BLOCK_COLS, interpret: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
+    """All-pairs (substitutions, homologs) via the fused kernel.
+
+    ``states``: [N, L] uint8 pileup (numpy or device array).  Exact int64
+    results for any L (host-side chunking keeps f32 accumulators exact).
+    """
+    n, length = states.shape
+    n_pad = _pad_rows(n)
+
+    if isinstance(states, np.ndarray):
+        states = jnp.asarray(states)
+    if n_pad != n:
+        states = jnp.pad(
+            states, ((0, n_pad - n), (0, 0)), constant_values=INVALID
+        )
+
+    matches = np.zeros((n_pad, n_pad), dtype=np.int64)
+    homs = np.zeros((n_pad, n_pad), dtype=np.int64)
+
+    for start in range(0, max(length, 1), _MAX_COLS_PER_CALL):
+        chunk = states[:, start : start + _MAX_COLS_PER_CALL]
+        clen = chunk.shape[1]
+        pad = (-clen) % block
+        if pad:
+            chunk = jnp.pad(
+                chunk, ((0, 0), (0, pad)), constant_values=INVALID
+            )
+        m, h = _pallas_counts(chunk, block, interpret)
+        matches += np.asarray(m, dtype=np.int64)
+        homs += np.asarray(h, dtype=np.int64)
+
+    matches = matches[:n, :n]
+    homs = homs[:n, :n]
+    subs = homs - matches
+    np.fill_diagonal(subs, 0)
+    np.fill_diagonal(homs, 0)
+    return subs, homs

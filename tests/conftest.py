@@ -15,6 +15,12 @@ if not os.environ.get("PHYLONIUM_TPU_TEST_REAL"):
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
 
+    # The env var alone is not enough here: the axon TPU plugin registers
+    # itself regardless, so pin the platform through the config API too.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 
