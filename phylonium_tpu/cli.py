@@ -179,6 +179,17 @@ def main(argv: list[str] | None = None) -> int:
         argv = sys.argv[1:]
     cfg, file_names = parse_args(argv)
 
+    import os
+
+    platform = os.environ.get("PHYLONIUM_TPU_PLATFORM")
+    if platform:
+        # The axon TPU plugin wins platform selection even when
+        # JAX_PLATFORMS=cpu is set in the environment, so honor an
+        # explicit override through the config API.
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
     from phylonium_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()

@@ -20,8 +20,29 @@ from phylonium_tpu.model.evo import EvoCounts
 
 
 def pick_first_pass(queries: list[Sequence], verbose: bool = False) -> int:
-    order = sorted(range(len(queries)), key=lambda i: len(queries[i]))
-    reference_index = order[len(queries) // 2]
+    """Median-length genome via libstdc++-exact nth_element.
+
+    With tied lengths the chosen element depends on the introselect
+    implementation; core/nth_element.py reproduces libstdc++ so the
+    choice matches reference binaries bit-for-bit.  The chosen sequence
+    is then located by *value* in the original list, mirroring the
+    ``std::find`` at src/phylonium.cxx:374-375.
+    """
+    from phylonium_tpu.core.nth_element import nth_element
+
+    order = list(range(len(queries)))
+    nth_element(
+        order,
+        len(queries) // 2,
+        comp=lambda i, j: len(queries[i]) < len(queries[j]),
+    )
+    chosen = queries[order[len(queries) // 2]]
+
+    reference_index = next(
+        i
+        for i, q in enumerate(queries)
+        if q.name == chosen.name and q.nucl == chosen.nucl
+    )
     if verbose:
         print(
             f"chosen reference: {queries[reference_index].name}",
