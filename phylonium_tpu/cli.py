@@ -52,7 +52,10 @@ Options:
   -v, --verbose        Print additional information
       --distance=OPT   Choose between raw, jc corrected and ANI
       --esa-backend=B  Index backend: 'native', 'numpy', or 'auto' (default)
-      --count-backend=B  Pair counting: 'device', 'numpy', or 'auto' (default)
+      --count-backend=B  Pair counting: 'pallas', 'device', 'numpy', or 'auto' (default)
+      --checkpoint=DIR Reuse/persist anchor-mapping results in DIR
+                       (content-addressed; reruns and grown panels skip
+                       already-mapped genomes)
   -h, --help           Display this help and exit
       --version        Output version information and acknowledgments
 """
@@ -160,6 +163,10 @@ def parse_args(argv: list[str]) -> tuple[RunConfig, list[str]]:
             )
         elif arg == "--count-backend" or arg.startswith("--count-backend="):
             cfg.count_backend = (
+                arg.split("=", 1)[1] if "=" in arg else take_value(arg)
+            )
+        elif arg == "--checkpoint" or arg.startswith("--checkpoint="):
+            cfg.checkpoint_dir = (
                 arg.split("=", 1)[1] if "=" in arg else take_value(arg)
             )
         elif arg.startswith("-") and arg != "-":

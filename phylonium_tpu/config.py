@@ -29,7 +29,8 @@ class RunConfig:
     reference_name: str = ""
     anchor_p_value: float = 0.025
     esa_backend: str | None = None  # None/'auto' | 'native' | 'numpy'
-    count_backend: str = "auto"  # 'auto' | 'device' | 'numpy'
+    count_backend: str = "auto"  # 'auto' | 'pallas' | 'device' | 'numpy'
+    checkpoint_dir: str = ""  # reuse/persist mapping results here
     return_code: int = 0
     _progress_enabled: bool | None = field(default=None, repr=False)
 

@@ -52,21 +52,46 @@ def map_queries(
         )
         sys.stderr.flush()
 
+    # Checkpoint: reuse previously mapped queries (content-addressed).
+    ckpt = None
+    keys = [None] * n
+    todo = list(range(n))
+    if cfg.checkpoint_dir:
+        from phylonium_tpu.utils.checkpoint import (
+            MappingCheckpoint,
+            query_key,
+            subject_key,
+        )
+
+        ckpt = MappingCheckpoint(cfg.checkpoint_dir)
+        skey = subject_key(ref.subject.nucl, threshold)
+        todo = []
+        for j in range(n):
+            keys[j] = query_key(skey, queries[j].name, queries[j].nucl)
+            cached = ckpt.load(keys[j])
+            if cached is None:
+                todo.append(j)
+            else:
+                homologies[j] = cached
+
     # Native backend maps entire batches in C++/OpenMP.
     if ref.backend_name == "native":
         native_out = ref._native.map_queries(
-            [q.as_array() for q in queries], threshold
+            [queries[j].as_array() for j in todo], threshold
         )
+        for k, j in enumerate(todo):
+            homologies[j] = native_out[k]
     else:
-        native_out = None
-
-    for j in range(n):
-        if native_out is not None:
-            homologies[j] = native_out[j]
-        else:
+        for j in todo:
             hv = anchor_homologies(ref, threshold, queries[j])
             hv.sort(key=lambda h: h.start())
             homologies[j] = filter_overlaps_max(hv)
+
+    if ckpt is not None:
+        for j in todo:
+            ckpt.save(keys[j], homologies[j])
+
+    for j in range(n):
         if show:
             progress = 100.0 * (j + 1) / n
             sys.stderr.write(

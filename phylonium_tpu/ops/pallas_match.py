@@ -42,6 +42,21 @@ from phylonium_tpu.ops.match_table import MATCH_TABLE
 DEFAULT_BLOCK_COLS = 4096
 # f32 exactness bound: per-cell counts must stay below 2^24 per kernel call
 _MAX_COLS_PER_CALL = 1 << 23
+# approximate VMEM bytes available to one grid step's working set
+_VMEM_BUDGET = 12 << 20
+
+
+def default_block_cols(n_pad: int) -> int:
+    """Largest lane-aligned column block whose working set fits VMEM.
+
+    Per column the kernel holds ~2 bytes of double-buffered uint8 input,
+    4 bytes of widened i32, and 2 x 2-byte bf16 plane operands per row
+    (~22 bytes/row/column measured).
+    """
+    per_col = 22 * n_pad
+    block = _VMEM_BUDGET // per_col
+    block = max(128, min(DEFAULT_BLOCK_COLS * 4, (block // 128) * 128))
+    return block
 
 # partners(s) = states t with MATCH_TABLE[s, t] == 1 (static)
 _PARTNERS: tuple[tuple[int, ...], ...] = tuple(
@@ -118,8 +133,85 @@ def _pad_rows(n: int) -> int:
     return max(32, -(-n // 32) * 32)
 
 
+def _cross_kernel(mine_ref, everyone_ref, matches_ref, homs_ref):
+    """Rectangular variant: my row block vs all rows (sharded path)."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        matches_ref[:] = jnp.zeros_like(matches_ref)
+        homs_ref[:] = jnp.zeros_like(homs_ref)
+
+    mine = mine_ref[:].astype(jnp.int32)
+    everyone = everyone_ref[:].astype(jnp.int32)
+
+    def outer(x, y):
+        return jax.lax.dot_general(
+            x,
+            y,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    valid_a = (mine != INVALID).astype(jnp.bfloat16)
+    valid_b = (everyone != INVALID).astype(jnp.bfloat16)
+    homs_ref[:] += outer(valid_a, valid_b)
+
+    macc = jnp.zeros_like(matches_ref)
+    for s in range(N_STATES):
+        pa = (mine == s).astype(jnp.bfloat16)
+        partners = _PARTNERS[s]
+        qb = everyone == partners[0]
+        for t in partners[1:]:
+            qb = qb | (everyone == t)
+        macc = macc + outer(pa, qb.astype(jnp.bfloat16))
+    matches_ref[:] += macc
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def cross_counts_pallas(
+    mine: jnp.ndarray,
+    everyone: jnp.ndarray,
+    block: int,
+    interpret: bool = False,
+):
+    """[Na, L] x [Nb, L] -> (matches, homs) [Na, Nb] int32.
+
+    Both inputs must be row-padded (multiples of 32 rows) and share a
+    column count that is a multiple of ``block`` and at most
+    ``_MAX_COLS_PER_CALL`` (f32 exactness).  jit/shard_map-composable:
+    runs entirely on device and returns device arrays.
+    """
+    na, length = mine.shape
+    nb, _ = everyone.shape
+    grid = (length // block,)
+
+    matches, homs = pl.pallas_call(
+        _cross_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (na, block), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (nb, block), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((na, nb), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((na, nb), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((na, nb), jnp.float32),
+            jax.ShapeDtypeStruct((na, nb), jnp.float32),
+        ],
+        interpret=interpret,
+    )(mine, everyone)
+    return matches.astype(jnp.int32), homs.astype(jnp.int32)
+
+
 def pair_counts_pallas(
-    states, block: int = DEFAULT_BLOCK_COLS, interpret: bool = False
+    states, block: int | None = None, interpret: bool = False
 ) -> tuple[np.ndarray, np.ndarray]:
     """All-pairs (substitutions, homologs) via the fused kernel.
 
@@ -128,6 +220,8 @@ def pair_counts_pallas(
     """
     n, length = states.shape
     n_pad = _pad_rows(n)
+    if block is None:
+        block = default_block_cols(n_pad)
 
     if isinstance(states, np.ndarray):
         states = jnp.asarray(states)

@@ -31,6 +31,44 @@ from phylonium_tpu.core.pileup import INVALID
 from phylonium_tpu.ops.match_matrix import block_counts
 
 
+def _local_counts_pallas(
+    states_local: jnp.ndarray, block: int, interpret: bool = False
+):
+    """Pallas-backed shard counts: my rows x all rows (TPU fast path)."""
+    from phylonium_tpu.ops.pallas_match import (
+        _MAX_COLS_PER_CALL,
+        _pad_rows,
+        cross_counts_pallas,
+    )
+
+    gathered = jax.lax.all_gather(states_local, "rows", axis=0, tiled=True)
+
+    na, lc = states_local.shape
+    nb = gathered.shape[0]
+    na_pad, nb_pad = _pad_rows(na), _pad_rows(nb)
+    mine = jnp.pad(
+        states_local, ((0, na_pad - na), (0, 0)), constant_values=INVALID
+    )
+    everyone = jnp.pad(
+        gathered, ((0, nb_pad - nb), (0, 0)), constant_values=INVALID
+    )
+
+    chunk = max(block, (_MAX_COLS_PER_CALL // block) * block)
+    m = jnp.zeros((na_pad, nb_pad), jnp.int32)
+    h = jnp.zeros((na_pad, nb_pad), jnp.int32)
+    for start in range(0, lc, chunk):
+        end = min(start + chunk, lc)
+        mm, hh = cross_counts_pallas(
+            mine[:, start:end], everyone[:, start:end], block, interpret
+        )
+        m = m + mm
+        h = h + hh
+
+    m = jax.lax.psum(m[:na, :nb], "cols")
+    h = jax.lax.psum(h[:na, :nb], "cols")
+    return m, h
+
+
 def _local_counts(states_local: jnp.ndarray, block: int):
     """Counts for this device's shard: [N_loc, Lc] vs all-gathered rows."""
     gathered = jax.lax.all_gather(
@@ -88,14 +126,24 @@ def _cross_block_counts(mine: jnp.ndarray, everyone: jnp.ndarray):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "block", "n_rows", "n_cols")
+    jax.jit,
+    static_argnames=("mesh", "block", "n_rows", "n_cols", "kernel",
+                     "interpret"),
 )
-def _sharded_counts(states, mesh, block, n_rows, n_cols):
+def _sharded_counts(states, mesh, block, n_rows, n_cols, kernel, interpret):
+    if kernel == "pallas":
+        local = functools.partial(
+            _local_counts_pallas, block=block, interpret=interpret
+        )
+    else:
+        local = functools.partial(_local_counts, block=block)
     fn = jax.shard_map(
-        functools.partial(_local_counts, block=block),
+        local,
         mesh=mesh,
         in_specs=P("rows", "cols"),
         out_specs=(P("rows", None), P("rows", None)),
+        # pallas_call out_shapes carry no varying-mesh-axes annotation
+        check_vma=(kernel != "pallas"),
     )
     return fn(states)
 
@@ -104,11 +152,24 @@ def pair_counts_sharded(
     states: np.ndarray,
     mesh: jax.sharding.Mesh,
     block: int = 1 << 18,
+    kernel: str | None = None,
+    interpret: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """All-pairs (substitutions, homologs) over a ('rows','cols') mesh."""
+    """All-pairs (substitutions, homologs) over a ('rows','cols') mesh.
+
+    ``kernel``: 'pallas' (fused kernel per shard; TPU default), 'xla'
+    (einsum path; CPU default), or None for platform auto-detection.
+    """
+    if kernel is None:
+        platform = next(iter(mesh.devices.flat)).platform
+        kernel = "pallas" if platform == "tpu" else "xla"
     n, length = states.shape
     n_rows = mesh.shape["rows"]
     n_cols = mesh.shape["cols"]
+    if kernel == "pallas":
+        from phylonium_tpu.ops.pallas_match import default_block_cols, _pad_rows
+
+        block = default_block_cols(_pad_rows(n))
 
     block = int(min(block, 1 << (max(length // n_cols, 1) - 1).bit_length()))
     block = max(block, 128)
@@ -124,7 +185,7 @@ def pair_counts_sharded(
     sharding = NamedSharding(mesh, P("rows", "cols"))
     states_dev = jax.device_put(states, sharding)
     m, h = _sharded_counts(
-        states_dev, mesh, block, n_rows, n_cols
+        states_dev, mesh, block, n_rows, n_cols, kernel, interpret
     )
     m = np.asarray(m, dtype=np.int64)[:n, :n]
     h = np.asarray(h, dtype=np.int64)[:n, :n]

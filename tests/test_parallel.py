@@ -47,3 +47,13 @@ def test_ragged_padding(states):
     s, h = pair_counts_sharded(odd, mesh, block=128)
     assert np.array_equal(s, s_ref)
     assert np.array_equal(h, h_ref)
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+def test_sharded_pallas_kernel_equals_single(states, shape):
+    """The fused-kernel sharded path (interpret mode on CPU)."""
+    mesh = make_mesh(shape)
+    s_ref, h_ref = pair_counts_device(states, block=512)
+    s, h = pair_counts_sharded(states, mesh, kernel="pallas", interpret=True)
+    assert np.array_equal(s, s_ref)
+    assert np.array_equal(h, h_ref)
