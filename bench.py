@@ -48,8 +48,8 @@ def simulate_panel(n=29, length=5_000_000, seed=29):
 
     g = bytearray(genomes[-1])
     third = length // 3
-    g[third : third + 500_000] = revcomp(bytes(g[third : third + 500_000]))
-    parts = [bytes(g[i::5]) for i in range(0)]  # placeholder no-op
+    inv = min(500_000, length // 6)
+    g[third : third + inv] = revcomp(bytes(g[third : third + inv]))
     contig_len = length // 5
     genomes[-1] = b"!".join(
         bytes(g[i * contig_len : (i + 1) * contig_len]) for i in range(5)
@@ -96,7 +96,6 @@ def main():
     import jax.numpy as jnp
 
     from phylonium_tpu.ops.pallas_match import (
-        DEFAULT_BLOCK_COLS,
         _pad_rows,
         _pallas_counts,
         pair_counts_pallas,
@@ -120,9 +119,15 @@ def main():
         subs, homs = pair_counts_device(states_dev)
     t_compare_first = time.time() - t0
 
-    # steady-state kernel timing on padded device-resident input
-    block = DEFAULT_BLOCK_COLS
+    # Steady-state kernel timing: a serialized fori_loop chain (each
+    # iteration's input depends on the previous result) inside one jit.
+    # Naive re-dispatch timing over the remote-device tunnel reports
+    # impossible numbers (async dispatch); a dependency chain cannot lie.
+    from phylonium_tpu.ops.pallas_match import default_block_cols
+    from jax import lax
+
     n_pad = _pad_rows(n)
+    block = default_block_cols(n_pad)
     lpad = (-length) % block
     padded = jnp.pad(
         states_dev,
@@ -130,18 +135,33 @@ def main():
         constant_values=10,
     )
     jax.block_until_ready(padded)
-    reps = 5
-    if use_pallas:
-        jax.block_until_ready(_pallas_counts(padded, block)[0])
-        t0 = time.time()
-        for _ in range(reps):
-            r = _pallas_counts(padded, block)
-        jax.block_until_ready(r[0])
-    else:
-        jax.block_until_ready(pair_counts_device(states_dev)[0])
-        t0 = time.time()
-        for _ in range(reps):
-            r = pair_counts_device(states_dev)
+    reps = 10
+
+    def chained(states):
+        def body(i, carry):
+            acc, s = carry
+            s = lax.dynamic_update_slice(
+                s, (acc[:1, :1] % 11).astype(jnp.uint8), (0, 0)
+            )
+            if use_pallas:
+                m, h = _pallas_counts(s, block)
+                m = m.astype(jnp.int32)
+            else:
+                from phylonium_tpu.ops.match_matrix import (
+                    _pair_counts_scanned,
+                )
+
+                m, h = _pair_counts_scanned(s, block)
+            return (acc + m, s)
+
+        acc0 = jnp.zeros((states.shape[0], states.shape[0]), jnp.int32)
+        out, _ = lax.fori_loop(0, reps, body, (acc0, states))
+        return out
+
+    chained_jit = jax.jit(chained)
+    np.asarray(chained_jit(padded))  # warm/compile
+    t0 = time.time()
+    np.asarray(chained_jit(padded))
     t_compare = (time.time() - t0) / reps
 
     pairs = n * (n - 1) // 2
@@ -171,12 +191,14 @@ def main():
     vs_baseline = pairs_per_s / host_pairs_per_s if host_pairs_per_s else 0.0
 
     gbp = pairs * length / 1e9
+    map_gbp_per_s = n * length / t_map / 1e9  # anchor-extend throughput
     detail = {
         "n_genomes": n,
         "genome_length": length,
         "t_simulate": round(t_sim, 3),
         "t_index": round(t_index, 3),
         "t_map": round(t_map, 3),
+        "map_gbp_per_s": round(map_gbp_per_s, 3),
         "t_pileup": round(t_pileup, 3),
         "t_transfer": round(t_transfer, 4),
         "t_compare_first_incl_conv": round(t_compare_first, 4),

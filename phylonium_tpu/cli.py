@@ -56,6 +56,7 @@ Options:
       --checkpoint=DIR Reuse/persist anchor-mapping results in DIR
                        (content-addressed; reruns and grown panels skip
                        already-mapped genomes)
+      --profile=DIR    Write a jax.profiler trace of the run to DIR
   -h, --help           Display this help and exit
       --version        Output version information and acknowledgments
 """
@@ -169,6 +170,10 @@ def parse_args(argv: list[str]) -> tuple[RunConfig, list[str]]:
             cfg.checkpoint_dir = (
                 arg.split("=", 1)[1] if "=" in arg else take_value(arg)
             )
+        elif arg == "--profile" or arg.startswith("--profile="):
+            cfg.profile_dir = (
+                arg.split("=", 1)[1] if "=" in arg else take_value(arg)
+            )
         elif arg.startswith("-") and arg != "-":
             usage(1)
         else:
@@ -218,8 +223,29 @@ def main(argv: list[str] | None = None) -> int:
     if len(file_names) < 2:
         usage(1)
 
+    if cfg.threads:
+        from phylonium_tpu.native import num_procs, set_threads
+
+        if cfg.threads > num_procs():
+            cfg.warn(
+                "The number of threads to be used, is greater then the "
+                f"number of available processors; Ignoring -t "
+                f"{cfg.threads} argument."
+            )
+            cfg.threads = 0
+        else:
+            set_threads(cfg.threads)
+
     try:
-        queries = [join(read_genome(fn)) for fn in file_names]
+        # parallel file reading, the analogue of the reference's
+        # omp-parallel read loop (src/phylonium.cxx:272-275)
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = cfg.threads or min(8, len(file_names))
+        with ThreadPoolExecutor(max_workers=max(workers, 1)) as pool:
+            queries = [
+                join(g) for g in pool.map(read_genome, file_names)
+            ]
     except OSError as e:
         # err(errno, ...)-style failure (src/io.cxx:73-74)
         print(f"{PROG}: {e.filename}: {e.strerror}", file=sys.stderr)
@@ -233,11 +259,20 @@ def main(argv: list[str] | None = None) -> int:
     else:
         reference_index = pick_first_pass(queries, verbose=bool(cfg.verbose))
 
-    counts = process(queries[reference_index], queries, cfg)
+    import contextlib
 
-    if cfg.two_pass:
-        reference_index = pick_second_pass(counts)
+    prof = contextlib.nullcontext()
+    if cfg.profile_dir:
+        import jax
+
+        prof = jax.profiler.trace(cfg.profile_dir)
+
+    with prof:
         counts = process(queries[reference_index], queries, cfg)
+
+        if cfg.two_pass:
+            reference_index = pick_second_pass(counts)
+            counts = process(queries[reference_index], queries, cfg)
 
     names = [q.name for q in queries]
     lengths = np.array([len(q) for q in queries], dtype=np.int64)

@@ -31,6 +31,7 @@ class RunConfig:
     esa_backend: str | None = None  # None/'auto' | 'native' | 'numpy'
     count_backend: str = "auto"  # 'auto' | 'pallas' | 'device' | 'numpy'
     checkpoint_dir: str = ""  # reuse/persist mapping results here
+    profile_dir: str = ""  # write a jax.profiler trace here
     return_code: int = 0
     _progress_enabled: bool | None = field(default=None, repr=False)
 

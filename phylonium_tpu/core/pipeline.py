@@ -133,22 +133,31 @@ def pair_counts(
 def process(
     subject: Sequence, queries: list[Sequence], cfg: RunConfig
 ) -> EvoCounts:
+    import time
+
+    timings: dict[str, float] = {}
     n = len(queries)
 
+    t0 = time.time()
     ref = ESAIndex(subject, backend=cfg.esa_backend)
+    timings["index"] = time.time() - t0
     gc = gc_content(subject.nucl)
     threshold = min_anchor_length(cfg.anchor_p_value, gc, ref.size)
 
     if cfg.verbose:
         print(f"ref: {subject.name}", file=sys.stderr)
 
+    t0 = time.time()
     homologies = map_queries(ref, threshold, queries, cfg)
+    timings["map"] = time.time() - t0
 
     if cfg.complete_deletion:
         homologies = complete_delete(homologies)
 
+    t0 = time.time()
     query_arrays = [q.as_array() for q in queries]
     states = build_pileup(query_arrays, homologies, len(subject))
+    timings["pileup"] = time.time() - t0
 
     if cfg.print_positions:
         write_refpos(
@@ -160,11 +169,21 @@ def process(
         sys.stderr.write("Comparing the sequences: ")
         sys.stderr.flush()
 
+    t0 = time.time()
     subs, homs = pair_counts(states, cfg)
+    timings["compare"] = time.time() - t0
 
     if show:
         sys.stderr.write("done.\n")
         sys.stderr.flush()
+
+    if cfg.verbose >= 2:
+        phases = "  ".join(f"{k}={v:.3f}s" for k, v in timings.items())
+        print(
+            f"phase timings ({ref.backend_name} index, "
+            f"{cfg.count_backend} counts): {phases}",
+            file=sys.stderr,
+        )
 
     counts = EvoCounts(subs, homs)
     return counts

@@ -79,6 +79,27 @@ def print_warnings(
                     )
 
 
+def write_abscov(
+    subject_name: str, names: list[str], counts: EvoCounts
+) -> str:
+    """Write '<subject>.abscov' with absolute pairwise coverages.
+
+    Functional equivalent of the reference's second print_matrix overload
+    (src/io.cxx:235-258) — declared there but never reachable from main;
+    here it is activated by extra verbosity (-v -v).
+    """
+    path = f"{subject_name}.abscov"
+    with open(path, "w") as f:
+        f.write("Absolute Coverages:\n")
+        n = len(names)
+        for i in range(n):
+            f.write(names[i])
+            for j in range(n):
+                f.write(f"  {int(counts.homologs[i, j]):8d}")
+            f.write("\n")
+    return path
+
+
 def print_matrix(
     cfg: RunConfig,
     names: list[str],
@@ -126,3 +147,6 @@ def print_matrix(
             f"alignment:\t{aln_aligned}\t{aln_total}\t{frac:.6g}",
             file=sys.stderr,
         )
+        if cfg.verbose >= 2:
+            path = write_abscov(names[reference_index], names, counts)
+            print(f"absolute coverages written to {path}", file=sys.stderr)

@@ -77,8 +77,26 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int64,
         ]
+        lib.phy_set_threads.argtypes = [ctypes.c_int]
+        lib.phy_num_procs.restype = ctypes.c_int
         _lib = lib
     return _lib
+
+
+def set_threads(n: int) -> None:
+    """Cap the native backend's OpenMP thread count (the -t flag)."""
+    if n > 0:
+        try:
+            get_lib().phy_set_threads(n)
+        except Exception:
+            pass
+
+
+def num_procs() -> int:
+    try:
+        return int(get_lib().phy_num_procs())
+    except Exception:
+        return 1
 
 
 def _u8ptr(arr: np.ndarray):

@@ -643,6 +643,22 @@ i64 phy_revseqcmp(const u8 *begin, const u8 *other, i64 len) {
     return cnt;
 }
 
+void phy_set_threads(int n) {
+#ifdef _OPENMP
+    if (n > 0) omp_set_num_threads(n);
+#else
+    (void)n;
+#endif
+}
+
+int phy_num_procs() {
+#ifdef _OPENMP
+    return omp_get_num_procs();
+#else
+    return 1;
+#endif
+}
+
 int phy_version() { return 1; }
 
 }  // extern "C"
