@@ -35,8 +35,11 @@ DEFAULT_BLOCK = 1 << 20
 
 
 def _tables():
-    # MT_rows[state] = MATCH_TABLE[:, state][:N_STATES]  (gather by column)
-    mt = jnp.asarray(MATCH_TABLE.T.astype(np.int8))  # [11, 11]
+    # the valid 10x10 corner of the match table, bf16 for MXU use
+    mt = jnp.asarray(
+        MATCH_TABLE[:N_STATES, :N_STATES].astype(np.float32),
+        dtype=jnp.bfloat16,
+    )
     return mt
 
 
@@ -47,7 +50,11 @@ def block_counts(blk: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     planes = (
         blk[..., None] == jnp.arange(N_STATES, dtype=blk.dtype)
     ).astype(jnp.bfloat16)  # [N, B, 10]
-    q = mt[blk][..., :N_STATES].astype(jnp.bfloat16)  # [N, B, 10]
+    # apply the match table by matmul, not gather: XLA pads per-element
+    # gathers of tiny tables catastrophically (11x HBM expansion)
+    q = jnp.einsum(
+        "nbt,st->nbs", planes, mt, preferred_element_type=jnp.bfloat16
+    )  # [N, B, 10], values 0/1
 
     matches = jnp.einsum(
         "nbs,mbs->nm", planes, q, preferred_element_type=jnp.float32

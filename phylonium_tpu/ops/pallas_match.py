@@ -251,3 +251,76 @@ def pair_counts_pallas(
     np.fill_diagonal(subs, 0)
     np.fill_diagonal(homs, 0)
     return subs, homs
+
+
+def pair_counts_pallas_blocked(
+    states,
+    row_block: int = 512,
+    block: int | None = None,
+    interpret: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Row-blocked variant for very large N on a single chip.
+
+    Tiles the output matrix into ``row_block x row_block`` panels and
+    computes only the upper triangle with the rectangular kernel, keeping
+    VMEM pressure independent of N.  Bit-identical to the flat path.
+    """
+    import jax
+
+    n, length = states.shape
+    if n <= row_block:
+        return pair_counts_pallas(states, block=block, interpret=interpret)
+
+    rb_pad = _pad_rows(row_block)
+    if block is None:
+        block = default_block_cols(2 * rb_pad)
+
+    if isinstance(states, np.ndarray):
+        states = jnp.asarray(states)
+
+    matches = np.zeros((n, n), dtype=np.int64)
+    homs = np.zeros((n, n), dtype=np.int64)
+
+    n_blocks = -(-n // row_block)
+
+    def padded_rows(i):
+        lo = i * row_block
+        hi = min(lo + row_block, n)
+        blk = states[lo:hi]
+        if hi - lo < rb_pad:
+            blk = jnp.pad(
+                blk, ((0, rb_pad - (hi - lo)), (0, 0)),
+                constant_values=INVALID,
+            )
+        return blk, lo, hi
+
+    for i in range(n_blocks):
+        a, alo, ahi = padded_rows(i)
+        for j in range(i, n_blocks):
+            b, blo, bhi = padded_rows(j)
+            m_acc = np.zeros((rb_pad, rb_pad), dtype=np.int64)
+            h_acc = np.zeros((rb_pad, rb_pad), dtype=np.int64)
+            for start in range(0, length, _MAX_COLS_PER_CALL):
+                ca = a[:, start : start + _MAX_COLS_PER_CALL]
+                cb = b[:, start : start + _MAX_COLS_PER_CALL]
+                pad = (-ca.shape[1]) % block
+                if pad:
+                    ca = jnp.pad(
+                        ca, ((0, 0), (0, pad)), constant_values=INVALID
+                    )
+                    cb = jnp.pad(
+                        cb, ((0, 0), (0, pad)), constant_values=INVALID
+                    )
+                mm, hh = cross_counts_pallas(ca, cb, block, interpret)
+                m_acc += np.asarray(mm, dtype=np.int64)
+                h_acc += np.asarray(hh, dtype=np.int64)
+            matches[alo:ahi, blo:bhi] = m_acc[: ahi - alo, : bhi - blo]
+            homs[alo:ahi, blo:bhi] = h_acc[: ahi - alo, : bhi - blo]
+            if j > i:
+                matches[blo:bhi, alo:ahi] = matches[alo:ahi, blo:bhi].T
+                homs[blo:bhi, alo:ahi] = homs[alo:ahi, blo:bhi].T
+
+    subs = homs - matches
+    np.fill_diagonal(subs, 0)
+    np.fill_diagonal(homs, 0)
+    return subs, homs

@@ -108,13 +108,22 @@ def _cross_block_counts(mine: jnp.ndarray, everyone: jnp.ndarray):
     from phylonium_tpu.core.pileup import N_STATES
     from phylonium_tpu.ops.match_table import MATCH_TABLE
 
-    mt = jnp.asarray(MATCH_TABLE.T.astype(np.int8))
+    mt = jnp.asarray(
+        MATCH_TABLE[:N_STATES, :N_STATES].astype(np.float32),
+        dtype=jnp.bfloat16,
+    )
     valid_a = (mine != INVALID).astype(jnp.bfloat16)
     valid_b = (everyone != INVALID).astype(jnp.bfloat16)
     planes = (
         mine[..., None] == jnp.arange(N_STATES, dtype=mine.dtype)
     ).astype(jnp.bfloat16)
-    q = mt[everyone][..., :N_STATES].astype(jnp.bfloat16)
+    planes_b = (
+        everyone[..., None] == jnp.arange(N_STATES, dtype=everyone.dtype)
+    ).astype(jnp.bfloat16)
+    # matmul table application (per-element gathers pad catastrophically)
+    q = jnp.einsum(
+        "nbt,st->nbs", planes_b, mt, preferred_element_type=jnp.bfloat16
+    )
 
     matches = jnp.einsum(
         "nbs,mbs->nm", planes, q, preferred_element_type=jnp.float32

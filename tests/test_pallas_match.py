@@ -50,3 +50,16 @@ def test_pallas_chunking_exactness():
         assert np.array_equal(h0, h1)
     finally:
         pm._MAX_COLS_PER_CALL = old
+
+
+def test_row_blocked_equals_flat():
+    from phylonium_tpu.ops.pallas_match import pair_counts_pallas_blocked
+
+    rng = np.random.default_rng(3)
+    states = rng.integers(0, 11, size=(9, 700)).astype(np.uint8)
+    s0, h0 = pair_counts_numpy(states)
+    s1, h1 = pair_counts_pallas_blocked(
+        states, row_block=4, block=128, interpret=INTERPRET
+    )
+    assert np.array_equal(s0, s1)
+    assert np.array_equal(h0, h1)
