@@ -83,9 +83,40 @@ def cleanup_names(reference_name: str, file_names: list[str]) -> list[str]:
     return sorted(set(file_names))
 
 
+def _expand_bundles(argv: list[str]) -> list[str]:
+    """getopt-style short-option bundling: -2v == -2 -v, -b5 == -b 5.
+
+    Options taking a value (b, p, r, t) consume the rest of the token.
+    """
+    value_opts = "bprt"
+    out: list[str] = []
+    i = 0
+    while i < len(argv):
+        arg = argv[i]
+        if arg == "--":
+            out.extend(argv[i:])
+            break
+        if len(arg) > 2 and arg[0] == "-" and arg[1] != "-":
+            k = 1
+            while k < len(arg):
+                c = arg[k]
+                out.append(f"-{c}")
+                if c in value_opts:
+                    rest = arg[k + 1 :]
+                    if rest:
+                        out.append(rest)
+                    break
+                k += 1
+        else:
+            out.append(arg)
+        i += 1
+    return out
+
+
 def parse_args(argv: list[str]) -> tuple[RunConfig, list[str]]:
     cfg = RunConfig()
     files: list[str] = []
+    argv = _expand_bundles(argv)
     i = 0
 
     def take_value(flag: str) -> str:

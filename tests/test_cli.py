@@ -184,3 +184,20 @@ def test_multi_contig_draft_assembly(tmp_path, capsys):
     names, mat = parse_phylip(out)
     assert set(names) == {"ref", "draft"}
     assert 0.01 < mat[0, 1] < 0.04
+
+
+def test_short_flag_bundling(pair_dir, capsys):
+    # -2v == -2 -v ; -b3 == -b 3
+    code, out = run_cli(
+        ["-b3", str(pair_dir / "S0.fasta"), str(pair_dir / "S1.fasta")],
+        capsys,
+    )
+    assert code == 0
+    assert out.count("2\nS0") == 3
+
+    from phylonium_tpu.cli import _expand_bundles
+
+    assert _expand_bundles(["-2v"]) == ["-2", "-v"]
+    assert _expand_bundles(["-vvt", "4"]) == ["-v", "-v", "-t", "4"]
+    assert _expand_bundles(["-rfile.fa"]) == ["-r", "file.fa"]
+    assert _expand_bundles(["--", "-2v"]) == ["--", "-2v"]

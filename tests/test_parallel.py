@@ -57,3 +57,14 @@ def test_sharded_pallas_kernel_equals_single(states, shape):
     s, h = pair_counts_sharded(states, mesh, kernel="pallas", interpret=True)
     assert np.array_equal(s, s_ref)
     assert np.array_equal(h, h_ref)
+
+
+def test_pod_mesh_helpers(states):
+    from phylonium_tpu.parallel.multihost import make_pod_mesh, pair_counts_pod
+
+    mesh = make_pod_mesh()
+    assert mesh.shape["rows"] * mesh.shape["cols"] == 8
+    s, h = pair_counts_pod(states)
+    s_ref, h_ref = pair_counts_device(states, block=512)
+    assert np.array_equal(s, s_ref)
+    assert np.array_equal(h, h_ref)
