@@ -50,7 +50,7 @@ def compare_overlap(
     hat = ha.trim(common_start, common_end)
     hbt = hb.trim(common_start, common_end)
 
-    from phylonium_tpu.core.homology import FORWARD, REVERSE
+    from phylonium_tpu.core.homology import REVERSE
 
     if ha.direction == hb.direction:
         # same strand: plain byte comparison, no double complement needed

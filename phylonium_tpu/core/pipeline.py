@@ -165,8 +165,11 @@ def process(
         )
 
     show = cfg.progress_enabled
+    num_comparisons = (n * n - n) // 2
     if show:
-        sys.stderr.write("Comparing the sequences: ")
+        sys.stderr.write(
+            f"Comparing the sequences: {0.0:5.1f}% (0/{num_comparisons})"
+        )
         sys.stderr.flush()
 
     t0 = time.time()
@@ -174,7 +177,10 @@ def process(
     timings["compare"] = time.time() - t0
 
     if show:
-        sys.stderr.write("done.\n")
+        sys.stderr.write(
+            f"\rComparing the sequences: {100.0:5.1f}% "
+            f"({num_comparisons}/{num_comparisons}), done.\n"
+        )
         sys.stderr.flush()
 
     if cfg.verbose >= 2:

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import os
 import subprocess
-import sysconfig
 from pathlib import Path
 
 SRC_DIR = Path(__file__).parent / "src"
