@@ -1,0 +1,106 @@
+"""Native C++ backend parity with the numpy oracles."""
+
+import numpy as np
+import pytest
+
+try:
+    from phylonium_tpu.native import (
+        NativeESA,
+        build_sa,
+        num_procs,
+        revseqcmp,
+        seqcmp,
+        set_threads,
+    )
+
+    NATIVE = True
+except Exception:  # pragma: no cover - build environments without g++
+    NATIVE = False
+
+pytestmark = pytest.mark.skipif(not NATIVE, reason="native backend unavailable")
+
+
+def brute_sa(s: bytes):
+    return sorted(range(len(s)), key=lambda i: s[i:])
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_sa_is_matches_bruteforce(seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 500))
+    s = rng.choice(np.frombuffer(b"ACGT!#", np.uint8), n)
+    assert build_sa(s).tolist() == brute_sa(s.tobytes())
+
+
+def test_sa_is_handles_nul_bytes():
+    # the u8 fast path requires NUL-free input; NUL falls back to widening
+    s = np.array([65, 0, 67, 0, 65], dtype=np.uint8)
+    assert build_sa(s).tolist() == brute_sa(bytes(s))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_longest_match_matches_numpy(seed):
+    from phylonium_tpu.index.esa_numpy import NumpySuffixIndex
+
+    rng = np.random.default_rng(50 + seed)
+    n = int(rng.integers(50, 800))
+    S = rng.choice(np.frombuffer(b"ACGT", np.uint8), n)
+    ne = NativeESA(S)
+    np_idx = NumpySuffixIndex(S.copy())
+    assert ne.SA.tolist() == np_idx.SA.tolist()
+    for _ in range(40):
+        m = int(rng.integers(1, 60))
+        if rng.random() < 0.6 and n > m:
+            st = int(rng.integers(0, n - m))
+            q = S[st : st + m].copy()
+        else:
+            q = rng.choice(np.frombuffer(b"ACGT", np.uint8), m)
+        assert ne.longest_match(q, 0, m) == np_idx.longest_match(q, 0, m)
+
+
+def test_map_query_matches_python_chain(rng):
+    from phylonium_tpu.core.anchor_stats import min_anchor_length
+    from phylonium_tpu.core.anchors import anchor_homologies
+    from phylonium_tpu.core.filter import filter_overlaps_max
+    from phylonium_tpu.data.sequence import Sequence, gc_content, revcomp
+    from phylonium_tpu.index.esa import ESAIndex
+    from tests.conftest import mutate, random_genome
+
+    ref = random_genome(rng, 20_000)
+    q = mutate(ref, 0.02, rng)
+    q = q[:7000] + revcomp(q[7000:14000]) + b"!" + q[14000:]
+
+    sref = Sequence("r", ref)
+    esa_np = ESAIndex(sref, backend="numpy")
+    esa_nat = ESAIndex(sref, backend="native")
+    thr = min_anchor_length(0.025, gc_content(ref), esa_nat.size)
+
+    hv = anchor_homologies(esa_np, thr, Sequence("q", q))
+    hv.sort(key=lambda h: h.start())
+    py = filter_overlaps_max(hv)
+    nat = esa_nat._native.map_query(np.frombuffer(q, np.uint8), thr)
+
+    key = lambda h: (  # noqa: E731
+        h.direction,
+        h.index_reference,
+        h.index_reference_projected,
+        h.index_query,
+        h.length,
+    )
+    assert [key(h) for h in nat] == [key(h) for h in py]
+
+
+def test_scalar_kernels():
+    a = np.frombuffer(b"ACGTACGT", np.uint8)
+    b = np.frombuffer(b"ACCTACGA", np.uint8)
+    assert seqcmp(a, b) == 2
+    fwd = np.frombuffer(b"ACGT", np.uint8)
+    assert revseqcmp(fwd, fwd) == 0  # ACGT is its own revcomp
+    assert revseqcmp(np.frombuffer(b"!", np.uint8),
+                     np.frombuffer(b"T", np.uint8)) == 0  # ASCII quirk
+
+
+def test_thread_controls():
+    assert num_procs() >= 1
+    set_threads(1)  # must not raise
+    set_threads(0)  # ignored

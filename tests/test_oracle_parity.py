@@ -195,3 +195,38 @@ def test_identical_sequences(oracle, tmp_path):
     write_fasta(tmp_path / "a.fasta", [("a", g)])
     write_fasta(tmp_path / "b.fasta", [("b", g)])
     assert_parity(["a.fasta", "b.fasta"], tmp_path)
+
+
+def test_heavy_draft_assembly(oracle, tmp_path):
+    """Draft assemblies with ~200 contigs each plus strand flips
+    (BASELINE.json config 4)."""
+    from phylonium_tpu.data.sequence import revcomp
+
+    rng = np.random.default_rng(12)
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    lut = np.zeros(256, np.uint8)
+    for c, b in enumerate(b"ACGT"):
+        lut[b] = c
+    length = 60_000
+    ref = rng.choice(acgt, length).tobytes()
+
+    def mutate(s, p):
+        arr = np.frombuffer(s, np.uint8).copy()
+        idx = np.flatnonzero(rng.random(arr.size) < p)
+        arr[idx] = acgt[(lut[arr[idx]] + rng.integers(1, 4, idx.size)) % 4]
+        return arr.tobytes()
+
+    write_fasta(tmp_path / "ref.fasta", [("ref", ref)])
+    for g in range(2):
+        seq = mutate(ref, 0.01 + 0.02 * g)
+        n_contigs = 200
+        size = length // n_contigs
+        recs = []
+        for k in range(n_contigs):
+            contig = seq[k * size : (k + 1) * size]
+            if k % 3 == 1:  # flip every third contig to the minus strand
+                contig = revcomp(contig)
+            recs.append((f"d{g}c{k}", contig))
+        write_fasta(tmp_path / f"d{g}.fasta", recs)
+
+    assert_parity(["ref.fasta", "d0.fasta", "d1.fasta"], tmp_path)
