@@ -258,7 +258,7 @@ struct Index {
 
     // k-mer bucket table: for each ACGT-only k-mer code, the SA range of
     // suffixes starting with it.
-    static constexpr int KMER = 8;
+    static constexpr int KMER = 10;
     std::vector<i64> bucket_lo;  // size 4^KMER + 1 (lo[c+1] == hi[c])
     bool has_buckets = false;
 
