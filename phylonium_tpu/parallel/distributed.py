@@ -192,10 +192,22 @@ def pair_counts_sharded(
         )
 
     sharding = NamedSharding(mesh, P("rows", "cols"))
-    states_dev = jax.device_put(states, sharding)
+    if jax.process_count() > 1:
+        # multi-host: every process holds the full states array; hand
+        # each device its addressable shard
+        states_dev = jax.make_array_from_callback(
+            states.shape, sharding, lambda idx: states[idx]
+        )
+    else:
+        states_dev = jax.device_put(states, sharding)
     m, h = _sharded_counts(
         states_dev, mesh, block, n_rows, n_cols, kernel, interpret
     )
+    if not m.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        m = multihost_utils.process_allgather(m, tiled=True)
+        h = multihost_utils.process_allgather(h, tiled=True)
     m = np.asarray(m, dtype=np.int64)[:n, :n]
     h = np.asarray(h, dtype=np.int64)[:n, :n]
     subs = h - m
