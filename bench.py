@@ -104,6 +104,12 @@ def main():
 
     enable_compile_cache()
 
+    # backend/tunnel init is a once-per-process constant — time it apart
+    # from the data transfer so neither is misattributed
+    t0 = time.time()
+    jax.devices()
+    t_backend_init = time.time() - t0
+
     t0 = time.time()
     states_dev = jax.device_put(states)
     jax.block_until_ready(states_dev)
@@ -200,6 +206,7 @@ def main():
         "t_map": round(t_map, 3),
         "map_gbp_per_s": round(map_gbp_per_s, 3),
         "t_pileup": round(t_pileup, 3),
+        "t_backend_init": round(t_backend_init, 3),
         "t_transfer": round(t_transfer, 4),
         "t_compare_first_incl_conv": round(t_compare_first, 4),
         "t_compare_device": round(t_compare, 4),
