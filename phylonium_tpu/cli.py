@@ -22,6 +22,7 @@ Flag surface and behavior mirror the reference's getopt_long loop
 TPU-specific additions:
   --esa-backend=B        native | numpy | auto
   --count-backend=B      device | numpy | auto
+  --map-backend=B        native | python | hybrid | auto
 """
 
 from __future__ import annotations
@@ -53,6 +54,7 @@ Options:
       --distance=OPT   Choose between raw, jc corrected and ANI
       --esa-backend=B  Index backend: 'native', 'numpy', or 'auto' (default)
       --count-backend=B  Pair counting: 'pallas', 'device', 'numpy', or 'auto' (default)
+      --map-backend=B  Mapping: 'native', 'python', 'hybrid' (device anchor extension), or 'auto' (default)
       --checkpoint=DIR Reuse/persist anchor-mapping results in DIR
                        (content-addressed; reruns and grown panels skip
                        already-mapped genomes)
@@ -195,6 +197,10 @@ def parse_args(argv: list[str]) -> tuple[RunConfig, list[str]]:
             )
         elif arg == "--count-backend" or arg.startswith("--count-backend="):
             cfg.count_backend = (
+                arg.split("=", 1)[1] if "=" in arg else take_value(arg)
+            )
+        elif arg == "--map-backend" or arg.startswith("--map-backend="):
+            cfg.map_backend = (
                 arg.split("=", 1)[1] if "=" in arg else take_value(arg)
             )
         elif arg == "--checkpoint" or arg.startswith("--checkpoint="):

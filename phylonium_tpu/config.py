@@ -30,6 +30,7 @@ class RunConfig:
     anchor_p_value: float = 0.025
     esa_backend: str | None = None  # None/'auto' | 'native' | 'numpy'
     count_backend: str = "auto"  # 'auto' | 'pallas' | 'device' | 'numpy'
+    map_backend: str = "auto"  # 'auto' | 'native' | 'python' | 'hybrid'
     checkpoint_dir: str = ""  # reuse/persist mapping results here
     profile_dir: str = ""  # write a jax.profiler trace here
     return_code: int = 0

@@ -1,0 +1,291 @@
+"""Hybrid mapping: host chain state machine + device anchor extension.
+
+Build-plan stage 4 (SURVEY.md §7): the per-byte work of the mapping
+phase — lucky-anchor LCP extension (`src/process.cxx:227-242`, ``lcp()``
+`src/process.cxx:171-184`) — runs on the TPU via
+:func:`phylonium_tpu.ops.anchor_extend.diagonal_neq`, while the cheap,
+irregular chaining decisions stay on host.
+
+Key amortization: along one diagonal, the mismatch *positions* determine
+every lucky-anchor run length the chain will ever evaluate there
+(each successful step ends exactly at a mismatch and resumes one byte
+after it).  So the host fetches one mismatch bitmap per
+(query, diagonal, chunk) — not per anchor — and *replays* the chain with
+vectorized run consumption.  Device round trips are batched across all
+queries in lockstep rounds.  ESA anchor queries at homology breaks
+(`src/process.cxx:219-225`) remain host-side (native C++ index).
+
+Exactness: produces homology lists bit-identical to the Python oracle
+(core/anchors.py) and the native C++ backend — asserted in
+tests/test_hybrid_map.py.
+
+Deployment note: with a strong host (many cores) or a high-latency
+host<->device link, the pure-host native backend wins the mapping phase;
+the hybrid path wins when host compute is scarce relative to the device.
+Select with ``--map-backend``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from phylonium_tpu.core.homology import Homology
+from phylonium_tpu.index.esa import ESAIndex
+
+# query-positions fetched per (query, diagonal) device request
+DEFAULT_CHUNK = 1 << 19
+_TILE = 2048
+
+
+class _NeedBitmap(Exception):
+    """Raised inside a machine when it blocks on diagonal data."""
+
+
+class _Machine:
+    """Chain state machine for one query (exact oracle semantics)."""
+
+    __slots__ = (
+        "ref", "q", "qlen", "threshold", "border", "SA", "hv",
+        "last_pos_Q", "last_pos_S", "last_length", "last_right",
+        "this_pos_Q", "current", "diag", "mm", "fs", "fe",
+        "request", "done",
+    )
+
+    def __init__(self, ref: ESAIndex, q: np.ndarray, threshold: int):
+        self.ref = ref
+        self.q = q
+        self.qlen = len(q)
+        self.threshold = threshold
+        self.border = ref.size // 2
+        self.SA = ref.SA
+        self.hv: list[Homology] = []
+        self.last_pos_Q = 0
+        self.last_pos_S = 0
+        self.last_length = 0
+        self.last_right = False
+        self.this_pos_Q = 0
+        self.current = Homology.at(0, 0)
+        # cached mismatch positions for one diagonal, covering [fs, fe)
+        self.diag: int | None = None
+        self.mm: np.ndarray | None = None
+        self.fs = 0
+        self.fe = 0
+        self.request: tuple[int, int] | None = None
+        self.done = False
+
+    # -- diagonal bitmap cache ------------------------------------------
+
+    def _next_mm(self, d: int, p: int) -> int:
+        """First mismatch position >= p on diagonal d (query coords)."""
+        if self.diag != d or p < self.fs or p >= self.fe:
+            self.request = (d, p)
+            raise _NeedBitmap
+        i = int(np.searchsorted(self.mm, p))
+        if i == len(self.mm):
+            # run extends past coverage; extend it (fe <= qlen here:
+            # covered fetches always mark position qlen as a mismatch)
+            self.request = (d, self.fe)
+            raise _NeedBitmap
+        return int(self.mm[i])
+
+    def feed(self, row: np.ndarray) -> None:
+        d, start = self.request
+        mm = (start + np.flatnonzero(row)).astype(np.int64)
+        if d == self.diag and start == self.fe:
+            self.mm = np.concatenate([self.mm, mm])
+        else:
+            self.diag = d
+            self.mm = mm
+            self.fs = start
+        self.fe = start + len(row)
+        self.request = None
+
+    # -- chain events (oracle semantics, src/process.cxx:245-295) -------
+
+    def _on_success(self, this_pos_S: int, this_length: int) -> None:
+        end_S = self.last_pos_S + self.last_length
+        end_Q = self.last_pos_Q + self.last_length
+        if (
+            this_pos_S > end_S
+            and self.this_pos_Q - end_Q == this_pos_S - end_S
+            and (this_pos_S < self.border) == (self.last_pos_S < self.border)
+        ):
+            self.current.extend(self.this_pos_Q - end_Q + this_length)
+            self.last_right = True
+        else:
+            if self.last_right or self.last_length // 2 >= self.threshold:
+                self.current.reverse_eh(self.border)
+                self.hv.append(self.current)
+            self.current = Homology.at(
+                this_pos_S, self.this_pos_Q, this_length
+            )
+            self.last_right = False
+        self.last_pos_Q = self.this_pos_Q
+        self.last_pos_S = this_pos_S
+        self.last_length = this_length
+
+    def _lucky(self):
+        """Lucky anchor via the diagonal bitmap; None = failed/inapplicable."""
+        advance = self.this_pos_Q - self.last_pos_Q
+        gap = advance - self.last_length
+        try_pos_S = self.last_pos_S + advance
+        if try_pos_S >= self.ref.size or gap > self.threshold:
+            return None
+        d = self.last_pos_S - self.last_pos_Q
+        nm = self._next_mm(d, self.this_pos_Q)
+        this_length = nm - self.this_pos_Q
+        if this_length >= self.threshold:
+            return try_pos_S, this_length
+        return None
+
+    def _consume_runs(self) -> None:
+        """Batch-apply consecutive lucky successes along the diagonal.
+
+        After any success, the next probe is at ``last end + 1`` with
+        gap 1; its LCP is the gap to the next mismatch.  All such steps
+        until the first sub-threshold run are right anchors (except a
+        single possible '#'-border crossing, handled as the left anchor
+        it is) — applied here without per-step Python/device work.
+        """
+        thr = self.threshold
+        while True:
+            p0 = self.this_pos_Q
+            if p0 >= self.qlen:
+                return
+            d = self.last_pos_S - self.last_pos_Q
+            if d + p0 >= self.ref.size:
+                return
+            self._next_mm(d, p0)  # ensure coverage (may raise)
+            i0 = int(np.searchsorted(self.mm, p0))
+            M = self.mm[i0:]
+            if len(M) == 0:
+                return  # re-handled via _next_mm on next lucky
+            p_arr = np.empty(len(M), np.int64)
+            p_arr[0] = p0
+            p_arr[1:] = M[:-1] + 1
+            runs = M - p_arr
+            ok = (
+                (runs >= thr)
+                & (d + p_arr < self.ref.size)
+                & (p_arr < self.qlen)
+            )
+            n_ok = int(np.argmin(ok)) if not ok.all() else len(ok)
+            if n_ok == 0:
+                return
+            # '#'-border crossing: s-positions increase, so the side
+            # flips at most once; steps before the flip are right
+            # anchors, the flip step is a left anchor.
+            side0 = self.last_pos_S < self.border
+            sides = (d + p_arr[:n_ok]) < self.border
+            flip = (
+                int(np.argmax(sides != side0))
+                if bool((sides != side0).any())
+                else n_ok
+            )
+            b = min(n_ok, flip) if flip > 0 else 0
+            if b > 0:
+                # right-anchor batch [0, b)
+                end_Q = self.last_pos_Q + self.last_length
+                self.current.extend(int(M[b - 1]) - end_Q)
+                self.last_right = True
+                self.last_pos_Q = int(p_arr[b - 1])
+                self.last_pos_S = d + int(p_arr[b - 1])
+                self.last_length = int(runs[b - 1])
+                self.this_pos_Q = int(M[b - 1]) + 1
+            if b < n_ok:
+                # the border-crossing step: left anchor
+                self.this_pos_Q = int(p_arr[b])
+                self._on_success(d + int(p_arr[b]), int(runs[b]))
+                self.this_pos_Q += int(runs[b]) + 1
+            elif b < len(ok):
+                return  # next step's run is sub-threshold -> slow path
+            # else: coverage exhausted; loop refetches via _next_mm
+
+    def _finish(self) -> None:
+        if self.last_length >= self.qlen:
+            # identical-sequence special case (src/process.cxx:284-287)
+            self.current = Homology.at(self.last_pos_S, 0, self.qlen)
+        if self.last_right or self.last_length // 2 >= self.threshold:
+            self.current.reverse_eh(self.border)
+            self.hv.append(self.current)
+
+    def run(self) -> bool:
+        """Advance until finished (True) or blocked on a bitmap (False)."""
+        if self.done:
+            return True
+        try:
+            while self.this_pos_Q < self.qlen:
+                res = self._lucky()
+                if res is not None:
+                    ts, tl = res
+                    self._on_success(ts, tl)
+                    self.this_pos_Q += tl + 1
+                    self._consume_runs()
+                else:
+                    l, i, j = self.ref.longest_match(
+                        self.q, self.this_pos_Q, self.qlen - self.this_pos_Q
+                    )
+                    tl = max(l, 0)
+                    if i == j and tl >= self.threshold:
+                        self._on_success(int(self.SA[i]), tl)
+                        self.this_pos_Q += tl + 1
+                        self._consume_runs()
+                    else:
+                        self.this_pos_Q += tl + 1
+            self._finish()
+            self.done = True
+            return True
+        except _NeedBitmap:
+            return False
+
+
+def hybrid_map_queries(
+    ref: ESAIndex,
+    threshold: int,
+    queries: list[np.ndarray],
+    chunk: int = DEFAULT_CHUNK,
+) -> list[list[Homology]]:
+    """Map every query; device round trips batched across queries.
+
+    Returns raw (unsorted, unfiltered) homology lists per query, like
+    core/anchors.anchor_homologies.
+    """
+    import jax.numpy as jnp
+
+    from phylonium_tpu.ops.anchor_extend import diagonal_neq, pad_text
+
+    s_dev = jnp.asarray(pad_text(ref.S, "a", _TILE))
+    lengths = [len(q) for q in queries]
+    bases = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
+    qcat = (
+        np.concatenate(queries)
+        if queries
+        else np.zeros(0, np.uint8)
+    )
+    q_dev = jnp.asarray(pad_text(qcat, "b", _TILE))
+
+    machines = [_Machine(ref, q, threshold) for q in queries]
+    nq = len(machines)
+    active = list(range(nq))
+    while active:
+        blocked = [k for k in active if not machines[k].run()]
+        if not blocked:
+            break
+        # fixed-size batch (pad with repeats) so the jitted bitmap op
+        # compiles once per (chunk, batch) shape
+        batch = blocked + [blocked[-1]] * (nq - len(blocked))
+        off_a = np.array(
+            [machines[k].request[0] + machines[k].request[1] for k in batch],
+            np.int32,
+        )
+        off_b = np.array(
+            [bases[k] + machines[k].request[1] for k in batch], np.int32
+        )
+        lim_b = np.array([bases[k] + lengths[k] for k in batch], np.int32)
+        rows = diagonal_neq(
+            s_dev, q_dev, off_a, off_b, ref.size, lim_b, chunk, tile=_TILE
+        )
+        for slot, k in enumerate(blocked):
+            machines[k].feed(rows[slot])
+        active = blocked
+    return [m.hv for m in machines]

@@ -74,8 +74,23 @@ def map_queries(
             else:
                 homologies[j] = cached
 
-    # Native backend maps entire batches in C++/OpenMP.
-    if ref.backend_name == "native":
+    map_backend = cfg.map_backend
+    if map_backend == "auto":
+        map_backend = "native" if ref.backend_name == "native" else "python"
+
+    if map_backend == "hybrid":
+        # host chain state machine + device anchor extension (stage 4)
+        from phylonium_tpu.core.hybrid_map import hybrid_map_queries
+
+        raw = hybrid_map_queries(
+            ref, threshold, [queries[j].as_array() for j in todo]
+        )
+        for k, j in enumerate(todo):
+            hv = raw[k]
+            hv.sort(key=lambda h: h.start())
+            homologies[j] = filter_overlaps_max(hv)
+    elif map_backend == "native":
+        # Native backend maps entire batches in C++/OpenMP.
         native_out = ref._native.map_queries(
             [queries[j].as_array() for j in todo], threshold
         )
