@@ -173,6 +173,46 @@ def main():
     pairs = n * (n - 1) // 2
     pairs_per_s = pairs / t_compare
 
+    # anchor-extend device throughput (north-star metric): chained
+    # batched LCE over the index text — the TPU replacement for the
+    # reference's scalar extension loops (src/esa.cxx:457-469,
+    # src/process.cxx:171-184).
+    from phylonium_tpu.data.sequence import Sequence as _Seq, revcomp
+    from phylonium_tpu.ops.anchor_extend import _lce_batch, pad_text
+
+    ext_tile = 8192
+    s_text = np.frombuffer(
+        genomes[0] + b"#" + revcomp(genomes[0]), dtype=np.uint8
+    )
+    s_dev = jnp.asarray(pad_text(s_text, "a", ext_tile))
+    s_dev2 = jnp.asarray(pad_text(s_text, "a", ext_tile))
+    n_jobs = 256
+    cap_len = min(length // 2, 1 << 20)
+    ext_off = np.linspace(
+        0, len(s_text) - cap_len - 1, n_jobs
+    ).astype(np.int32)
+    caps = np.full(n_jobs, cap_len, np.int32)
+
+    def chained_ext(off):
+        def body(i, carry):
+            total, off = carry
+            res = _lce_batch(
+                s_dev, s_dev2, off, off, jnp.asarray(caps), ext_tile
+            )
+            return total + res.sum(), off + (res[:1] % 1)
+
+        total, _ = jax.lax.fori_loop(
+            0, 4, body, (jnp.int64(0), off)
+        )
+        return total
+
+    ext_jit = jax.jit(chained_ext)
+    total_bytes = int(ext_jit(jnp.asarray(ext_off)))  # warm + checksum
+    t0 = time.time()
+    total_bytes = int(ext_jit(jnp.asarray(ext_off)))
+    t_ext = time.time() - t0
+    anchor_extend_gbp_s = total_bytes / t_ext / 1e9
+
     # host oracle baseline: the reference-style byte loop on a sample of
     # column range, extrapolated (numpy-vectorized stand-in for seqcmp)
     from phylonium_tpu.ops.match_table import MATCH_TABLE
@@ -212,6 +252,7 @@ def main():
         "t_compare_device": round(t_compare, 4),
         "kernel": "pallas" if use_pallas else "xla",
         "compare_gbp_per_s": round(gbp / t_compare, 2),
+        "anchor_extend_gbp_s": round(anchor_extend_gbp_s, 2),
         "host_oracle_pairs_per_s": round(host_pairs_per_s, 3),
         "platform": jax.devices()[0].platform,
         "mean_offdiag_coverage": round(

@@ -121,6 +121,21 @@ def map_queries(
     return homologies
 
 
+# above this many genomes the Pallas path tiles the output matrix into
+# row-block panels (VMEM pressure independent of N)
+ROW_BLOCK_THRESHOLD = 512
+
+
+def _use_pallas(cfg: RunConfig) -> bool:
+    if cfg.count_backend == "pallas":
+        return True
+    if cfg.count_backend != "auto":
+        return False
+    import jax
+
+    return jax.devices()[0].platform == "tpu"
+
+
 def pair_counts(
     states: np.ndarray, cfg: RunConfig
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -129,20 +144,61 @@ def pair_counts(
         from phylonium_tpu.ops.match_table import pair_counts_numpy
 
         return pair_counts_numpy(states)
-    if backend == "pallas":
-        from phylonium_tpu.ops.pallas_match import pair_counts_pallas
+    if _use_pallas(cfg):
+        from phylonium_tpu.ops.pallas_match import (
+            pair_counts_pallas,
+            pair_counts_pallas_blocked,
+        )
 
+        if states.shape[0] > ROW_BLOCK_THRESHOLD:
+            return pair_counts_pallas_blocked(states)
         return pair_counts_pallas(states)
-    if backend == "auto":
-        import jax
-
-        if jax.devices()[0].platform == "tpu":
-            from phylonium_tpu.ops.pallas_match import pair_counts_pallas
-
-            return pair_counts_pallas(states)
     from phylonium_tpu.ops.match_matrix import pair_counts_device
 
     return pair_counts_device(states)
+
+
+def prewarm_counts(n: int, ref_len: int, cfg: RunConfig):
+    """Start compiling the counting kernel in the background.
+
+    Remote (tunnelled) XLA compiles can take from seconds to minutes;
+    the kernel shapes are fully determined by (n, ref_len) thanks to
+    shape bucketing, so compilation overlaps the host-side index build
+    and mapping phases.  Returns the thread (daemon; safe to ignore).
+    """
+    import threading
+
+    def work():
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            from phylonium_tpu.core.pileup import INVALID
+            from phylonium_tpu.ops.pallas_match import (
+                _MAX_COLS_PER_CALL,
+                _pad_rows,
+                _pallas_counts,
+                bucket_cols,
+                default_block_cols,
+            )
+
+            if n > ROW_BLOCK_THRESHOLD:
+                return  # blocked path: panels warm on first use
+            n_pad = _pad_rows(n)
+            block = default_block_cols(n_pad)
+            cols = bucket_cols(min(ref_len, _MAX_COLS_PER_CALL), block)
+            dummy = jnp.full((n_pad, cols), INVALID, jnp.uint8)
+            m, _h = _pallas_counts(dummy, block)
+            jax.block_until_ready(m)
+        except Exception:
+            pass  # prewarm is best-effort; the real call will compile
+
+    if not _use_pallas(cfg):
+        return None  # CPU/XLA compiles are local and fast
+
+    t = threading.Thread(target=work, daemon=True, name="prewarm-counts")
+    t.start()
+    return t
 
 
 def process(
@@ -152,6 +208,10 @@ def process(
 
     timings: dict[str, float] = {}
     n = len(queries)
+
+    # start compiling the counting kernel while the host builds the index
+    # and maps queries (shapes are fixed by (n, |subject|) via bucketing)
+    prewarm_counts(n, len(subject), cfg)
 
     t0 = time.time()
     ref = ESAIndex(subject, backend=cfg.esa_backend)

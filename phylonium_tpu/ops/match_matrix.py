@@ -93,9 +93,13 @@ def pair_counts_device(
     diagonal zeroed (the reference never compares a genome with itself,
     src/process.cxx:525-529).
     """
+    from phylonium_tpu.ops.pallas_match import bucket_cols
+
     n, length = states.shape
     block = int(min(block, max(256, 1 << (max(length, 1) - 1).bit_length())))
-    pad = (-length) % block
+    # power-of-two shape buckets: similar-length genomes share one
+    # compiled executable (remote compiles are expensive)
+    pad = bucket_cols(length, block) - length
     if isinstance(states, np.ndarray):
         if pad:
             states = np.pad(

@@ -51,12 +51,31 @@ def default_block_cols(n_pad: int) -> int:
 
     Per column the kernel holds ~2 bytes of double-buffered uint8 input,
     4 bytes of widened i32, and 2 x 2-byte bf16 plane operands per row
-    (~22 bytes/row/column measured).
+    (~22 bytes/row/column measured).  Rounded down to a power of two so
+    blocks always divide the power-of-two column buckets
+    (:func:`bucket_cols`).
     """
     per_col = 22 * n_pad
     block = _VMEM_BUDGET // per_col
-    block = max(128, min(DEFAULT_BLOCK_COLS * 4, (block // 128) * 128))
-    return block
+    block = max(128, min(DEFAULT_BLOCK_COLS * 4, block))
+    return 1 << (block.bit_length() - 1)
+
+
+def bucket_cols(length: int, block: int) -> int:
+    """Pad a column count up to a power-of-two shape bucket.
+
+    Remote/tunnel XLA compiles can take minutes; bucketing makes every
+    genome of similar scale share one compiled executable (the padding
+    columns are INVALID and contribute nothing to the counts).
+    Quarter-octave granularity: at most ~4 shapes per factor of two and
+    <= 25% padding waste.  Always a multiple of ``block`` (a power of
+    two), and capped at 4M-column granularity for very long pileups.
+    """
+    n = max(length, block)
+    msb = (n - 1).bit_length()
+    q = min(1 << max(msb - 2, 7), _MAX_COLS_PER_CALL >> 1)
+    q = max(q, block)
+    return -(-n // q) * q
 
 # partners(s) = states t with MATCH_TABLE[s, t] == 1 (static)
 _PARTNERS: tuple[tuple[int, ...], ...] = tuple(
@@ -236,7 +255,7 @@ def pair_counts_pallas(
     for start in range(0, max(length, 1), _MAX_COLS_PER_CALL):
         chunk = states[:, start : start + _MAX_COLS_PER_CALL]
         clen = chunk.shape[1]
-        pad = (-clen) % block
+        pad = bucket_cols(clen, block) - clen
         if pad:
             chunk = jnp.pad(
                 chunk, ((0, 0), (0, pad)), constant_values=INVALID
@@ -303,7 +322,7 @@ def pair_counts_pallas_blocked(
             for start in range(0, length, _MAX_COLS_PER_CALL):
                 ca = a[:, start : start + _MAX_COLS_PER_CALL]
                 cb = b[:, start : start + _MAX_COLS_PER_CALL]
-                pad = (-ca.shape[1]) % block
+                pad = bucket_cols(ca.shape[1], block) - ca.shape[1]
                 if pad:
                     ca = jnp.pad(
                         ca, ((0, 0), (0, pad)), constant_values=INVALID
