@@ -231,7 +231,17 @@ def process(
 
     t0 = time.time()
     query_arrays = [q.as_array() for q in queries]
-    states = build_pileup(query_arrays, homologies, len(subject))
+    # device pileup build: ships ~N*L/4 packed bytes + interval records
+    # instead of the N*L state matrix, and keeps the states on device
+    # ('-p' segsite output needs the host matrix, so it keeps host build)
+    if _use_pallas(cfg) and not cfg.print_positions:
+        from phylonium_tpu.ops.pileup_device import build_pileup_device
+
+        states = build_pileup_device(
+            query_arrays, homologies, len(subject)
+        )
+    else:
+        states = build_pileup(query_arrays, homologies, len(subject))
     timings["pileup"] = time.time() - t0
 
     if cfg.print_positions:
