@@ -17,10 +17,80 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+ORACLE = os.path.join(REPO, "tests", "oracle", "bin", "phylonium")
+
+
+def end_to_end_vs_reference(genomes, timeout_s: int = 420) -> dict:
+    """Wall-clock both CLIs on identical FASTA files; byte-compare output.
+
+    Best-effort: returns {} when the reference oracle binary is missing
+    and cannot be built (it needs /root/reference mounted).
+    """
+    import shutil
+    import subprocess
+    import tempfile
+
+    if not os.path.exists(ORACLE):
+        script = os.path.join(REPO, "tests", "oracle", "build_oracle.sh")
+        try:
+            subprocess.run(
+                ["sh", script], capture_output=True, timeout=180,
+                check=True,
+            )
+        except Exception:
+            return {}
+    tmp = tempfile.mkdtemp(prefix="phylonium_bench_")
+    try:
+        files = []
+        for k, g in enumerate(genomes):
+            path = os.path.join(tmp, f"S{k:03d}.fasta")
+            with open(path, "wb") as f:
+                for ci, contig in enumerate(g.split(b"!")):
+                    f.write(b">S%03d_c%d\n" % (k, ci))
+                    for i in range(0, len(contig), 80):
+                        f.write(contig[i : i + 80] + b"\n")
+            files.append(path)
+
+        def run(cmd):
+            t0 = time.time()
+            r = subprocess.run(
+                cmd, capture_output=True, timeout=timeout_s, cwd=tmp
+            )
+            return time.time() - t0, r
+
+        try:
+            t_ref, r_ref = run([ORACLE, *files])
+            env = dict(os.environ)
+            env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
+            t0 = time.time()
+            r_tpu = subprocess.run(
+                [sys.executable, "-m", "phylonium_tpu", *files],
+                capture_output=True, timeout=timeout_s, cwd=tmp, env=env,
+            )
+            t_tpu = time.time() - t0
+        except subprocess.TimeoutExpired:
+            return {}
+        if r_ref.returncode or r_tpu.returncode:
+            return {}
+
+        def norm(out):
+            return sorted(out.decode().strip().splitlines())
+
+        return {
+            "e2e_ref_s": round(t_ref, 2),
+            "e2e_tpu_s": round(t_tpu, 2),
+            "e2e_speedup": round(t_ref / t_tpu, 3),
+            "e2e_identical": norm(r_ref.stdout) == norm(r_tpu.stdout),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def simulate_panel(n=29, length=5_000_000, seed=29):
@@ -236,6 +306,12 @@ def main():
     host_pairs_per_s = done / (t_host_sample * (length / sample_cols))
     vs_baseline = pairs_per_s / host_pairs_per_s if host_pairs_per_s else 0.0
 
+    # optional end-to-end comparison vs the reference binary on the
+    # same panel (same machine, same files, byte-compared matrices)
+    e2e = {}
+    if os.environ.get("PHYLONIUM_TPU_BENCH_E2E", "1") != "0":
+        e2e = end_to_end_vs_reference(genomes)
+
     gbp = pairs * length / 1e9
     map_gbp_per_s = n * length / t_map / 1e9  # anchor-extend throughput
     detail = {
@@ -258,6 +334,7 @@ def main():
         "mean_offdiag_coverage": round(
             float(homs[np.triu_indices(n, 1)].mean()) / length, 4
         ),
+        **e2e,
     }
     print(
         json.dumps(

@@ -18,6 +18,7 @@ with the comparison phase redesigned for TPU:
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
@@ -231,10 +232,15 @@ def process(
 
     t0 = time.time()
     query_arrays = [q.as_array() for q in queries]
-    # device pileup build: ships ~N*L/4 packed bytes + interval records
-    # instead of the N*L state matrix, and keeps the states on device
-    # ('-p' segsite output needs the host matrix, so it keeps host build)
-    if _use_pallas(cfg) and not cfg.print_positions:
+    # The device pileup builder (ops/pileup_device.py) ships 4x fewer
+    # bytes but pays a per-column gather that measures slower than host
+    # build + one bulk transfer at every scale on v5e; it stays opt-in
+    # for transfer-starved deployments.  '-p' needs the host matrix.
+    if (
+        os.environ.get("PHYLONIUM_TPU_DEVICE_PILEUP") == "1"
+        and _use_pallas(cfg)
+        and not cfg.print_positions
+    ):
         from phylonium_tpu.ops.pileup_device import build_pileup_device
 
         states = build_pileup_device(
