@@ -93,7 +93,7 @@ def end_to_end_vs_reference(genomes, timeout_s: int = 420) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def simulate_panel(n=29, length=5_000_000, seed=29):
+def simulate_panel(n=29, length=5_000_000, seed=29, **_):
     rng = np.random.default_rng(seed)
     acgt = np.frombuffer(b"ACGT", np.uint8)
     lut = np.zeros(256, np.uint8)
@@ -307,10 +307,18 @@ def main():
     vs_baseline = pairs_per_s / host_pairs_per_s if host_pairs_per_s else 0.0
 
     # optional end-to-end comparison vs the reference binary on the
-    # same panel (same machine, same files, byte-compared matrices)
+    # same panel (same machine, same files, byte-compared matrices);
+    # a second, larger panel shows the O(N^2) comparison-phase scaling
     e2e = {}
     if os.environ.get("PHYLONIUM_TPU_BENCH_E2E", "1") != "0":
         e2e = end_to_end_vs_reference(genomes)
+        large_n = 2 * n
+        large = end_to_end_vs_reference(
+            simulate_panel(large_n, length, seed=61)
+        )
+        e2e.update(
+            {k.replace("e2e", f"e2e_n{large_n}"): v for k, v in large.items()}
+        )
 
     gbp = pairs * length / 1e9
     map_gbp_per_s = n * length / t_map / 1e9  # anchor-extend throughput
