@@ -174,9 +174,9 @@ def prewarm_counts(n: int, ref_len: int, cfg: RunConfig):
             import jax
             import jax.numpy as jnp
 
-            from phylonium_tpu.core.pileup import INVALID
             from phylonium_tpu.ops.pallas_match import (
                 _MAX_COLS_PER_CALL,
+                _PACKED_PAD,
                 _pad_rows,
                 _pallas_counts,
                 bucket_cols,
@@ -186,10 +186,11 @@ def prewarm_counts(n: int, ref_len: int, cfg: RunConfig):
             if n > ROW_BLOCK_THRESHOLD:
                 return  # blocked path: panels warm on first use
             n_pad = _pad_rows(n)
-            block = default_block_cols(n_pad)
-            cols = bucket_cols(min(ref_len, _MAX_COLS_PER_CALL), block)
-            dummy = jnp.full((n_pad, cols), INVALID, jnp.uint8)
-            m, _h = _pallas_counts(dummy, block)
+            block = max(128, default_block_cols(n_pad) // 2)
+            l2 = -(-max(ref_len, 1) // 2)
+            cols = bucket_cols(min(l2, _MAX_COLS_PER_CALL // 2), block)
+            dummy = jnp.full((n_pad, cols), _PACKED_PAD, jnp.uint8)
+            m, _h = _pallas_counts(dummy, block, packed=True)
             jax.block_until_ready(m)
         except Exception:
             pass  # prewarm is best-effort; the real call will compile

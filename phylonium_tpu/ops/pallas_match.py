@@ -84,16 +84,8 @@ _PARTNERS: tuple[tuple[int, ...], ...] = tuple(
 )
 
 
-def _count_kernel(states_ref, matches_ref, homs_ref):
-    step = pl.program_id(0)
-
-    @pl.when(step == 0)
-    def _():
-        matches_ref[:] = jnp.zeros_like(matches_ref)
-        homs_ref[:] = jnp.zeros_like(homs_ref)
-
-    # widen to i32 for the VPU compares (Mosaic has no i8 compare on v5e)
-    blk = states_ref[:].astype(jnp.int32)  # [N_pad, B]
+def _accumulate(blk, matches_ref, homs_ref):
+    """Shared count body over one widened-i32 [N_pad, B] column block."""
 
     def outer(x, y):
         return jax.lax.dot_general(
@@ -117,13 +109,50 @@ def _count_kernel(states_ref, matches_ref, homs_ref):
     matches_ref[:] += macc
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
-def _pallas_counts(states: jnp.ndarray, block: int, interpret: bool = False):
+def _count_kernel(states_ref, matches_ref, homs_ref):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        matches_ref[:] = jnp.zeros_like(matches_ref)
+        homs_ref[:] = jnp.zeros_like(homs_ref)
+
+    # widen to i32 for the VPU compares (Mosaic has no i8 compare on v5e)
+    _accumulate(states_ref[:].astype(jnp.int32), matches_ref, homs_ref)
+
+
+def _count_kernel_packed(states_ref, matches_ref, homs_ref):
+    """Packed variant: each byte carries two pileup states (split
+    layout — low nibble = logical column j, high nibble = column
+    j + L/2), halving both the host->device transfer and the kernel's
+    HBM traffic.  Column sums are order-invariant, so processing the
+    two halves concatenated is exact."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        matches_ref[:] = jnp.zeros_like(matches_ref)
+        homs_ref[:] = jnp.zeros_like(homs_ref)
+
+    raw = states_ref[:].astype(jnp.int32)
+    blk = jnp.concatenate([raw & 15, raw >> 4], axis=1)
+    _accumulate(blk, matches_ref, homs_ref)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block", "interpret", "packed")
+)
+def _pallas_counts(
+    states: jnp.ndarray,
+    block: int,
+    interpret: bool = False,
+    packed: bool = False,
+):
     n_pad, length = states.shape
     grid = (length // block,)
 
     matches, homs = pl.pallas_call(
-        _count_kernel,
+        _count_kernel_packed if packed else _count_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -229,38 +258,68 @@ def cross_counts_pallas(
     return matches.astype(jnp.int32), homs.astype(jnp.int32)
 
 
+# INVALID in both nibbles — the packed padding byte
+_PACKED_PAD = INVALID | (INVALID << 4)
+
+
+def pack_states(states: np.ndarray, n_pad: int) -> np.ndarray:
+    """Split-layout nibble packing: byte [g, j] = state[g, j] |
+    state[g, j + L2] << 4 with L2 = ceil(L/2) (odd tails pad INVALID).
+    Halves transfer + HBM bytes; states are 0..10 so they fit 4 bits.
+    """
+    n, length = states.shape
+    l2 = -(-max(length, 1) // 2)
+    lo = np.full((n, l2), INVALID, dtype=np.uint8)
+    hi = np.full((n, l2), INVALID, dtype=np.uint8)
+    lo[:, : min(l2, length)] = states[:, :l2]
+    hi[:, : length - l2] = states[:, l2:]
+    out = np.full((n_pad, l2), _PACKED_PAD, dtype=np.uint8)
+    out[:n] = lo | (hi << 4)
+    return out
+
+
 def pair_counts_pallas(
     states, block: int | None = None, interpret: bool = False
 ) -> tuple[np.ndarray, np.ndarray]:
     """All-pairs (substitutions, homologs) via the fused kernel.
 
-    ``states``: [N, L] uint8 pileup (numpy or device array).  Exact int64
-    results for any L (host-side chunking keeps f32 accumulators exact).
+    ``states``: [N, L] uint8 pileup.  Host numpy input takes the packed
+    path (4-bit split-layout, half the transfer and HBM traffic); device
+    input streams unpacked.  Exact int64 results for any L (host-side
+    chunking keeps f32 accumulators exact).
     """
     n, length = states.shape
     n_pad = _pad_rows(n)
-    if block is None:
-        block = default_block_cols(n_pad)
 
-    if isinstance(states, np.ndarray):
-        states = jnp.asarray(states)
-    if n_pad != n:
-        states = jnp.pad(
-            states, ((0, n_pad - n), (0, 0)), constant_values=INVALID
-        )
+    packed = isinstance(states, np.ndarray)
+    if packed:
+        states = jnp.asarray(pack_states(states, n_pad))
+        if block is None:
+            block = max(128, default_block_cols(n_pad) // 2)
+        cap = _MAX_COLS_PER_CALL // 2
+    else:
+        if block is None:
+            block = default_block_cols(n_pad)
+        cap = _MAX_COLS_PER_CALL
+        if n_pad != n:
+            states = jnp.pad(
+                states, ((0, n_pad - n), (0, 0)), constant_values=INVALID
+            )
 
     matches = np.zeros((n_pad, n_pad), dtype=np.int64)
     homs = np.zeros((n_pad, n_pad), dtype=np.int64)
 
-    for start in range(0, max(length, 1), _MAX_COLS_PER_CALL):
-        chunk = states[:, start : start + _MAX_COLS_PER_CALL]
+    width = states.shape[1]
+    fill = _PACKED_PAD if packed else INVALID
+    for start in range(0, max(width, 1), cap):
+        chunk = states[:, start : start + cap]
         clen = chunk.shape[1]
         pad = bucket_cols(clen, block) - clen
         if pad:
             chunk = jnp.pad(
-                chunk, ((0, 0), (0, pad)), constant_values=INVALID
+                chunk, ((0, 0), (0, pad)), constant_values=fill
             )
-        m, h = _pallas_counts(chunk, block, interpret)
+        m, h = _pallas_counts(chunk, block, interpret, packed)
         matches += np.asarray(m, dtype=np.int64)
         homs += np.asarray(h, dtype=np.int64)
 
