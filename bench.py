@@ -243,45 +243,50 @@ def main():
     pairs = n * (n - 1) // 2
     pairs_per_s = pairs / t_compare
 
-    # anchor-extend device throughput (north-star metric): chained
-    # batched LCE over the index text — the TPU replacement for the
-    # reference's scalar extension loops (src/esa.cxx:457-469,
-    # src/process.cxx:171-184).
-    from phylonium_tpu.data.sequence import Sequence as _Seq, revcomp
-    from phylonium_tpu.ops.anchor_extend import _lce_batch, pad_text
+    # anchor-extend device throughput (north-star metric): the Pallas
+    # diagonal-mismatch kernel over the index text — the TPU
+    # replacement for the reference's scalar extension loops
+    # (src/esa.cxx:457-469, src/process.cxx:171-184).  Chained + summed
+    # on device so async dispatch and host fetch can't skew it.
+    from phylonium_tpu.data.sequence import revcomp
+    from phylonium_tpu.ops.anchor_extend_pallas import (
+        _diagonal_neq_pallas,
+        pad_text2,
+    )
 
     ext_tile = 8192
     s_text = np.frombuffer(
         genomes[0] + b"#" + revcomp(genomes[0]), dtype=np.uint8
     )
-    s_dev = jnp.asarray(pad_text(s_text, "a", ext_tile))
-    s_dev2 = jnp.asarray(pad_text(s_text, "a", ext_tile))
-    n_jobs = 256
-    cap_len = min(length // 2, 1 << 20)
+    s_dev = jnp.asarray(pad_text2(s_text, "a", ext_tile))
+    s_dev2 = jnp.asarray(pad_text2(s_text, "b", ext_tile))
+    n_jobs = 64
+    ext_len = int(min(max(length // 2, ext_tile), 1 << 19))
     ext_off = np.linspace(
-        0, len(s_text) - cap_len - 1, n_jobs
+        0, len(s_text) - ext_len - 1, n_jobs
     ).astype(np.int32)
-    caps = np.full(n_jobs, cap_len, np.int32)
+    lims = jnp.full((n_jobs,), len(s_text), jnp.int32)
+    ext_reps = 16
 
     def chained_ext(off):
         def body(i, carry):
-            total, off = carry
-            res = _lce_batch(
-                s_dev, s_dev2, off, off, jnp.asarray(caps), ext_tile
+            total, o = carry
+            bits = _diagonal_neq_pallas(
+                s_dev, s_dev2, o, o, lims, lims, ext_len, ext_tile
             )
-            return total + res.sum(), off + (res[:1] % 1)
+            s = bits.sum(dtype=jnp.int32)
+            return total + s, (o + s % 1).astype(jnp.int32)
 
-        total, _ = jax.lax.fori_loop(
-            0, 4, body, (jnp.int64(0), off)
-        )
-        return total
+        return jax.lax.fori_loop(
+            0, ext_reps, body, (jnp.int32(0), off)
+        )[0]
 
     ext_jit = jax.jit(chained_ext)
-    total_bytes = int(ext_jit(jnp.asarray(ext_off)))  # warm + checksum
+    int(ext_jit(jnp.asarray(ext_off)))  # warm/compile
     t0 = time.time()
-    total_bytes = int(ext_jit(jnp.asarray(ext_off)))
+    int(ext_jit(jnp.asarray(ext_off)))
     t_ext = time.time() - t0
-    anchor_extend_gbp_s = total_bytes / t_ext / 1e9
+    anchor_extend_gbp_s = ext_reps * n_jobs * ext_len / t_ext / 1e9
 
     # host oracle baseline: the reference-style byte loop on a sample of
     # column range, extrapolated (numpy-vectorized stand-in for seqcmp)
