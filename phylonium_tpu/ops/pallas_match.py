@@ -181,18 +181,7 @@ def _pad_rows(n: int) -> int:
     return max(32, -(-n // 32) * 32)
 
 
-def _cross_kernel(mine_ref, everyone_ref, matches_ref, homs_ref):
-    """Rectangular variant: my row block vs all rows (sharded path)."""
-    step = pl.program_id(0)
-
-    @pl.when(step == 0)
-    def _():
-        matches_ref[:] = jnp.zeros_like(matches_ref)
-        homs_ref[:] = jnp.zeros_like(homs_ref)
-
-    mine = mine_ref[:].astype(jnp.int32)
-    everyone = everyone_ref[:].astype(jnp.int32)
-
+def _cross_accumulate(mine, everyone, matches_ref, homs_ref):
     def outer(x, y):
         return jax.lax.dot_general(
             x,
@@ -216,26 +205,67 @@ def _cross_kernel(mine_ref, everyone_ref, matches_ref, homs_ref):
     matches_ref[:] += macc
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def _cross_kernel(mine_ref, everyone_ref, matches_ref, homs_ref):
+    """Rectangular variant: my row block vs all rows (sharded path)."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        matches_ref[:] = jnp.zeros_like(matches_ref)
+        homs_ref[:] = jnp.zeros_like(homs_ref)
+
+    _cross_accumulate(
+        mine_ref[:].astype(jnp.int32),
+        everyone_ref[:].astype(jnp.int32),
+        matches_ref,
+        homs_ref,
+    )
+
+
+def _cross_kernel_packed(mine_ref, everyone_ref, matches_ref, homs_ref):
+    """Packed rectangular variant (split-nibble layout, see
+    _count_kernel_packed)."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        matches_ref[:] = jnp.zeros_like(matches_ref)
+        homs_ref[:] = jnp.zeros_like(homs_ref)
+
+    mine = mine_ref[:].astype(jnp.int32)
+    everyone = everyone_ref[:].astype(jnp.int32)
+    _cross_accumulate(
+        jnp.concatenate([mine & 15, mine >> 4], axis=1),
+        jnp.concatenate([everyone & 15, everyone >> 4], axis=1),
+        matches_ref,
+        homs_ref,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block", "interpret", "packed")
+)
 def cross_counts_pallas(
     mine: jnp.ndarray,
     everyone: jnp.ndarray,
     block: int,
     interpret: bool = False,
+    packed: bool = False,
 ):
     """[Na, L] x [Nb, L] -> (matches, homs) [Na, Nb] int32.
 
     Both inputs must be row-padded (multiples of 32 rows) and share a
-    column count that is a multiple of ``block`` and at most
-    ``_MAX_COLS_PER_CALL`` (f32 exactness).  jit/shard_map-composable:
-    runs entirely on device and returns device arrays.
+    column count that is a multiple of ``block``, holding at most
+    ``_MAX_COLS_PER_CALL`` logical columns (f32 exactness; a packed
+    column carries two).  jit/shard_map-composable: runs entirely on
+    device and returns device arrays.
     """
     na, length = mine.shape
     nb, _ = everyone.shape
     grid = (length // block,)
 
     matches, homs = pl.pallas_call(
-        _cross_kernel,
+        _cross_kernel_packed if packed else _cross_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -343,18 +373,25 @@ def pair_counts_pallas_blocked(
     computes only the upper triangle with the rectangular kernel, keeping
     VMEM pressure independent of N.  Bit-identical to the flat path.
     """
-    import jax
-
     n, length = states.shape
     if n <= row_block:
         return pair_counts_pallas(states, block=block, interpret=interpret)
 
     rb_pad = _pad_rows(row_block)
-    if block is None:
-        block = default_block_cols(2 * rb_pad)
 
-    if isinstance(states, np.ndarray):
-        states = jnp.asarray(states)
+    packed = isinstance(states, np.ndarray)
+    if packed:
+        states = jnp.asarray(pack_states(states, n))
+        if block is None:
+            block = max(128, default_block_cols(2 * rb_pad) // 2)
+        cap = _MAX_COLS_PER_CALL // 2
+        fill = _PACKED_PAD
+    else:
+        if block is None:
+            block = default_block_cols(2 * rb_pad)
+        cap = _MAX_COLS_PER_CALL
+        fill = INVALID
+    width = states.shape[1]
 
     matches = np.zeros((n, n), dtype=np.int64)
     homs = np.zeros((n, n), dtype=np.int64)
@@ -368,7 +405,7 @@ def pair_counts_pallas_blocked(
         if hi - lo < rb_pad:
             blk = jnp.pad(
                 blk, ((0, rb_pad - (hi - lo)), (0, 0)),
-                constant_values=INVALID,
+                constant_values=fill,
             )
         return blk, lo, hi
 
@@ -378,18 +415,20 @@ def pair_counts_pallas_blocked(
             b, blo, bhi = padded_rows(j)
             m_acc = np.zeros((rb_pad, rb_pad), dtype=np.int64)
             h_acc = np.zeros((rb_pad, rb_pad), dtype=np.int64)
-            for start in range(0, length, _MAX_COLS_PER_CALL):
-                ca = a[:, start : start + _MAX_COLS_PER_CALL]
-                cb = b[:, start : start + _MAX_COLS_PER_CALL]
+            for start in range(0, width, cap):
+                ca = a[:, start : start + cap]
+                cb = b[:, start : start + cap]
                 pad = bucket_cols(ca.shape[1], block) - ca.shape[1]
                 if pad:
                     ca = jnp.pad(
-                        ca, ((0, 0), (0, pad)), constant_values=INVALID
+                        ca, ((0, 0), (0, pad)), constant_values=fill
                     )
                     cb = jnp.pad(
-                        cb, ((0, 0), (0, pad)), constant_values=INVALID
+                        cb, ((0, 0), (0, pad)), constant_values=fill
                     )
-                mm, hh = cross_counts_pallas(ca, cb, block, interpret)
+                mm, hh = cross_counts_pallas(
+                    ca, cb, block, interpret, packed
+                )
                 m_acc += np.asarray(mm, dtype=np.int64)
                 h_acc += np.asarray(hh, dtype=np.int64)
             matches[alo:ahi, blo:bhi] = m_acc[: ahi - alo, : bhi - blo]
