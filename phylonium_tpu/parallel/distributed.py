@@ -32,11 +32,20 @@ from phylonium_tpu.ops.match_matrix import block_counts
 
 
 def _local_counts_pallas(
-    states_local: jnp.ndarray, block: int, interpret: bool = False
+    states_local: jnp.ndarray,
+    block: int,
+    interpret: bool = False,
+    packed: bool = False,
 ):
-    """Pallas-backed shard counts: my rows x all rows (TPU fast path)."""
+    """Pallas-backed shard counts: my rows x all rows (TPU fast path).
+
+    With ``packed`` the shard carries two 4-bit states per byte (see
+    ops.pallas_match.pack_states), halving the all_gather volume over
+    the 'rows' axis — the path's only inter-device data movement.
+    """
     from phylonium_tpu.ops.pallas_match import (
         _MAX_COLS_PER_CALL,
+        _PACKED_PAD,
         _pad_rows,
         cross_counts_pallas,
     )
@@ -46,20 +55,23 @@ def _local_counts_pallas(
     na, lc = states_local.shape
     nb = gathered.shape[0]
     na_pad, nb_pad = _pad_rows(na), _pad_rows(nb)
+    fill = _PACKED_PAD if packed else INVALID
     mine = jnp.pad(
-        states_local, ((0, na_pad - na), (0, 0)), constant_values=INVALID
+        states_local, ((0, na_pad - na), (0, 0)), constant_values=fill
     )
     everyone = jnp.pad(
-        gathered, ((0, nb_pad - nb), (0, 0)), constant_values=INVALID
+        gathered, ((0, nb_pad - nb), (0, 0)), constant_values=fill
     )
 
-    chunk = max(block, (_MAX_COLS_PER_CALL // block) * block)
+    cap = _MAX_COLS_PER_CALL // (2 if packed else 1)
+    chunk = max(block, (cap // block) * block)
     m = jnp.zeros((na_pad, nb_pad), jnp.int32)
     h = jnp.zeros((na_pad, nb_pad), jnp.int32)
     for start in range(0, lc, chunk):
         end = min(start + chunk, lc)
         mm, hh = cross_counts_pallas(
-            mine[:, start:end], everyone[:, start:end], block, interpret
+            mine[:, start:end], everyone[:, start:end], block,
+            interpret, packed,
         )
         m = m + mm
         h = h + hh
@@ -137,12 +149,15 @@ def _cross_block_counts(mine: jnp.ndarray, everyone: jnp.ndarray):
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "block", "n_rows", "n_cols", "kernel",
-                     "interpret"),
+                     "interpret", "packed"),
 )
-def _sharded_counts(states, mesh, block, n_rows, n_cols, kernel, interpret):
+def _sharded_counts(
+    states, mesh, block, n_rows, n_cols, kernel, interpret, packed=False
+):
     if kernel == "pallas":
         local = functools.partial(
-            _local_counts_pallas, block=block, interpret=interpret
+            _local_counts_pallas, block=block, interpret=interpret,
+            packed=packed,
         )
     else:
         local = functools.partial(_local_counts, block=block)
@@ -175,10 +190,26 @@ def pair_counts_sharded(
     n, length = states.shape
     n_rows = mesh.shape["rows"]
     n_cols = mesh.shape["cols"]
-    if kernel == "pallas":
-        from phylonium_tpu.ops.pallas_match import default_block_cols, _pad_rows
+    packed = kernel == "pallas"
+    if packed:
+        # 4-bit pack before sharding: halves both the host->device
+        # upload and the 'rows'-axis all_gather.  Column sums are
+        # order-invariant, so the split-nibble pairing is exact even
+        # though a packed column's two logical columns land on the
+        # same shard.
+        from phylonium_tpu.ops.pallas_match import (
+            _PACKED_PAD,
+            _pad_rows,
+            default_block_cols,
+            pack_states,
+        )
 
-        block = default_block_cols(_pad_rows(n))
+        states = pack_states(states, n)
+        length = states.shape[1]
+        block = max(128, default_block_cols(_pad_rows(n)) // 2)
+        fill = _PACKED_PAD
+    else:
+        fill = INVALID
 
     block = int(min(block, 1 << (max(length // n_cols, 1) - 1).bit_length()))
     block = max(block, 128)
@@ -188,7 +219,7 @@ def pair_counts_sharded(
     pad_l = (-length) % chunk
     if pad_n or pad_l:
         states = np.pad(
-            states, ((0, pad_n), (0, pad_l)), constant_values=INVALID
+            states, ((0, pad_n), (0, pad_l)), constant_values=fill
         )
 
     sharding = NamedSharding(mesh, P("rows", "cols"))
@@ -201,7 +232,8 @@ def pair_counts_sharded(
     else:
         states_dev = jax.device_put(states, sharding)
     m, h = _sharded_counts(
-        states_dev, mesh, block, n_rows, n_cols, kernel, interpret
+        states_dev, mesh, block, n_rows, n_cols, kernel, interpret,
+        packed,
     )
     if not m.is_fully_addressable:
         from jax.experimental import multihost_utils
