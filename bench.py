@@ -107,7 +107,7 @@ def end_to_end_vs_reference(genomes, timeout_s: int = 420) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def simulate_panel(n=29, length=5_000_000, seed=29, **_):
+def simulate_panel(n=29, length=5_000_000, seed=29):
     rng = np.random.default_rng(seed)
     acgt = np.frombuffer(b"ACGT", np.uint8)
     lut = np.zeros(256, np.uint8)

@@ -169,6 +169,9 @@ def prewarm_counts(n: int, ref_len: int, cfg: RunConfig):
     """
     import threading
 
+    if not _use_pallas(cfg):
+        return None  # CPU/XLA compiles are local and fast
+
     def work():
         try:
             import jax
@@ -194,9 +197,6 @@ def prewarm_counts(n: int, ref_len: int, cfg: RunConfig):
             jax.block_until_ready(m)
         except Exception:
             pass  # prewarm is best-effort; the real call will compile
-
-    if not _use_pallas(cfg):
-        return None  # CPU/XLA compiles are local and fast
 
     t = threading.Thread(target=work, daemon=True, name="prewarm-counts")
     t.start()

@@ -33,7 +33,6 @@ from phylonium_tpu.core.pileup import INVALID, N_BASE
 
 # byte codes: A=0 C=1 G=2 T=3, '!' separators carried sparsely as code 4
 _SEP_BYTE = ord("!")
-_BYTE_CODE = {65: 0, 67: 1, 71: 2, 84: 3}
 
 
 def pack_queries(queries: list[np.ndarray]):
