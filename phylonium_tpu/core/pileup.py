@@ -62,12 +62,15 @@ def build_pileup_row(
     length (projected coordinates live in [0, ref_len)).
     """
     row = np.full(ref_len, INVALID, dtype=np.uint8)
+    if not homologies:
+        return row
+    # code (and validate) the query once, not per homology
+    qcodes = byte_to_code(query)
     for h in homologies:
         start, end = h.start(), h.end()
         if h.length <= 0:
             continue
-        qseg = query[h.index_query : h.index_query + h.length]
-        codes = byte_to_code(qseg)
+        codes = qcodes[h.index_query : h.index_query + h.length]
         if h.direction == REVERSE:
             # ref column start+s aligns with query byte iq + len-1-s
             row[start:end] = codes[::-1] + N_BASE
