@@ -50,12 +50,12 @@ def default_block_cols(n_pad: int) -> int:
     """Largest lane-aligned column block whose working set fits VMEM.
 
     Per column the kernel holds ~2 bytes of double-buffered uint8 input,
-    4 bytes of widened i32, and 2 x 2-byte bf16 plane operands per row
-    (~22 bytes/row/column measured).  Rounded down to a power of two so
-    blocks always divide the power-of-two column buckets
-    (:func:`bucket_cols`).
+    4 bytes of widened i32, the 10 resident one-hot bf16 planes, and a
+    partner-sum operand per row (~48 bytes/row/column).  Rounded down to
+    a power of two so blocks always divide the power-of-two column
+    buckets (:func:`bucket_cols`).
     """
-    per_col = 22 * n_pad
+    per_col = 48 * n_pad
     block = _VMEM_BUDGET // per_col
     block = max(128, min(DEFAULT_BLOCK_COLS * 4, block))
     return 1 << (block.bit_length() - 1)
@@ -85,7 +85,13 @@ _PARTNERS: tuple[tuple[int, ...], ...] = tuple(
 
 
 def _accumulate(blk, matches_ref, homs_ref):
-    """Shared count body over one widened-i32 [N_pad, B] column block."""
+    """Shared count body over one widened-i32 [N_pad, B] column block.
+
+    Computes the 10 one-hot state planes once; each state's partner
+    plane is then a bf16 SUM of base planes (partner states are
+    distinct, so sum == OR exactly) — ~11 VPU compares per element
+    instead of ~35.
+    """
 
     def outer(x, y):
         return jax.lax.dot_general(
@@ -98,14 +104,16 @@ def _accumulate(blk, matches_ref, homs_ref):
     valid = (blk != INVALID).astype(jnp.bfloat16)
     homs_ref[:] += outer(valid, valid)
 
+    planes = [
+        (blk == s).astype(jnp.bfloat16) for s in range(N_STATES)
+    ]
     macc = jnp.zeros_like(matches_ref)
     for s in range(N_STATES):
-        pa = (blk == s).astype(jnp.bfloat16)
         partners = _PARTNERS[s]
-        qb = blk == partners[0]
+        qb = planes[partners[0]]
         for t in partners[1:]:
-            qb = qb | (blk == t)
-        macc = macc + outer(pa, qb.astype(jnp.bfloat16))
+            qb = qb + planes[t]
+        macc = macc + outer(planes[s], qb)
     matches_ref[:] += macc
 
 
@@ -194,14 +202,19 @@ def _cross_accumulate(mine, everyone, matches_ref, homs_ref):
     valid_b = (everyone != INVALID).astype(jnp.bfloat16)
     homs_ref[:] += outer(valid_a, valid_b)
 
+    # one-hot planes once; partner planes by exact bf16 sums (see
+    # _accumulate)
+    planes_b = [
+        (everyone == s).astype(jnp.bfloat16) for s in range(N_STATES)
+    ]
     macc = jnp.zeros_like(matches_ref)
     for s in range(N_STATES):
         pa = (mine == s).astype(jnp.bfloat16)
         partners = _PARTNERS[s]
-        qb = everyone == partners[0]
+        qb = planes_b[partners[0]]
         for t in partners[1:]:
-            qb = qb | (everyone == t)
-        macc = macc + outer(pa, qb.astype(jnp.bfloat16))
+            qb = qb + planes_b[t]
+        macc = macc + outer(pa, qb)
     matches_ref[:] += macc
 
 
@@ -341,6 +354,7 @@ def pair_counts_pallas(
 
     width = states.shape[1]
     fill = _PACKED_PAD if packed else INVALID
+    results = []  # dispatch all chunks, fetch once (async pipelining)
     for start in range(0, max(width, 1), cap):
         chunk = states[:, start : start + cap]
         clen = chunk.shape[1]
@@ -349,9 +363,14 @@ def pair_counts_pallas(
             chunk = jnp.pad(
                 chunk, ((0, 0), (0, pad)), constant_values=fill
             )
-        m, h = _pallas_counts(chunk, block, interpret, packed)
-        matches += np.asarray(m, dtype=np.int64)
-        homs += np.asarray(h, dtype=np.int64)
+        results.append(_pallas_counts(chunk, block, interpret, packed))
+    # one stacked fetch: each host<->device round trip has a large fixed
+    # latency on tunnelled deployments, so never fetch arrays one by one
+    stacked = np.asarray(
+        jnp.stack([jnp.stack(mh) for mh in results])
+    ).astype(np.int64)
+    matches += stacked[:, 0].sum(axis=0)
+    homs += stacked[:, 1].sum(axis=0)
 
     matches = matches[:n, :n]
     homs = homs[:n, :n]
@@ -409,12 +428,18 @@ def pair_counts_pallas_blocked(
             )
         return blk, lo, hi
 
+    # dispatch every panel asynchronously and fetch once at the end —
+    # per-panel synchronous fetches would serialize on host<->device
+    # latency, which dwarfs the 10s-of-ms kernel time per panel.
+    # int32 device accumulation is exact: per-cell counts are bounded
+    # by the genome length (< 2^31).
+    pending = {}
     for i in range(n_blocks):
         a, alo, ahi = padded_rows(i)
         for j in range(i, n_blocks):
             b, blo, bhi = padded_rows(j)
-            m_acc = np.zeros((rb_pad, rb_pad), dtype=np.int64)
-            h_acc = np.zeros((rb_pad, rb_pad), dtype=np.int64)
+            m_acc = None
+            h_acc = None
             for start in range(0, width, cap):
                 ca = a[:, start : start + cap]
                 cb = b[:, start : start + cap]
@@ -429,13 +454,29 @@ def pair_counts_pallas_blocked(
                 mm, hh = cross_counts_pallas(
                     ca, cb, block, interpret, packed
                 )
-                m_acc += np.asarray(mm, dtype=np.int64)
-                h_acc += np.asarray(hh, dtype=np.int64)
-            matches[alo:ahi, blo:bhi] = m_acc[: ahi - alo, : bhi - blo]
-            homs[alo:ahi, blo:bhi] = h_acc[: ahi - alo, : bhi - blo]
-            if j > i:
-                matches[blo:bhi, alo:ahi] = matches[alo:ahi, blo:bhi].T
-                homs[blo:bhi, alo:ahi] = homs[alo:ahi, blo:bhi].T
+                m_acc = mm if m_acc is None else m_acc + mm
+                h_acc = hh if h_acc is None else h_acc + hh
+            pending[(i, j)] = (
+                (alo, ahi, blo, bhi), m_acc, h_acc
+            )
+
+    # single stacked fetch — per-array round trips cost seconds each on
+    # tunnelled deployments (measured: 6 x [512,512] fetches = 17s)
+    keys = list(pending)
+    stacked = np.asarray(
+        jnp.stack(
+            [jnp.stack(pending[k][1:]) for k in keys]
+        )
+    ).astype(np.int64)
+    for idx, (i, j) in enumerate(keys):
+        alo, ahi, blo, bhi = pending[(i, j)][0]
+        m_np = stacked[idx, 0]
+        h_np = stacked[idx, 1]
+        matches[alo:ahi, blo:bhi] = m_np[: ahi - alo, : bhi - blo]
+        homs[alo:ahi, blo:bhi] = h_np[: ahi - alo, : bhi - blo]
+        if j > i:
+            matches[blo:bhi, alo:ahi] = matches[alo:ahi, blo:bhi].T
+            homs[blo:bhi, alo:ahi] = homs[alo:ahi, blo:bhi].T
 
     subs = homs - matches
     np.fill_diagonal(subs, 0)
