@@ -141,6 +141,52 @@ def simulate_panel(n=29, length=5_000_000, seed=29):
     return genomes
 
 
+def measure_anchor_extend(genome: bytes, length: int) -> float:
+    """Chained on-device throughput of the Pallas extension kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    from phylonium_tpu.data.sequence import revcomp
+    from phylonium_tpu.ops.anchor_extend_pallas import (
+        _diagonal_neq_pallas,
+        pad_text2,
+    )
+
+    ext_tile = 8192
+    s_text = np.frombuffer(
+        genome + b"#" + revcomp(genome), dtype=np.uint8
+    )
+    s_dev = jnp.asarray(pad_text2(s_text, "a", ext_tile))
+    s_dev2 = jnp.asarray(pad_text2(s_text, "b", ext_tile))
+    n_jobs = 64
+    ext_len = int(min(max(length // 2, ext_tile), 1 << 19))
+    ext_off = np.linspace(
+        0, len(s_text) - ext_len - 1, n_jobs
+    ).astype(np.int32)
+    lims = jnp.full((n_jobs,), len(s_text), jnp.int32)
+    ext_reps = 16
+
+    def chained_ext(off):
+        def body(i, carry):
+            total, o = carry
+            bits = _diagonal_neq_pallas(
+                s_dev, s_dev2, o, o, lims, lims, ext_len, ext_tile
+            )
+            s = bits.sum(dtype=jnp.int32)
+            return total + s, (o + s % 1).astype(jnp.int32)
+
+        return jax.lax.fori_loop(
+            0, ext_reps, body, (jnp.int32(0), off)
+        )[0]
+
+    ext_jit = jax.jit(chained_ext)
+    int(ext_jit(jnp.asarray(ext_off)))  # warm/compile
+    t0 = time.time()
+    int(ext_jit(jnp.asarray(ext_off)))
+    t_ext = time.time() - t0
+    return ext_reps * n_jobs * ext_len / t_ext / 1e9
+
+
 def main():
     from phylonium_tpu.config import RunConfig
     from phylonium_tpu.core.anchor_stats import min_anchor_length
@@ -260,47 +306,11 @@ def main():
     # anchor-extend device throughput (north-star metric): the Pallas
     # diagonal-mismatch kernel over the index text — the TPU
     # replacement for the reference's scalar extension loops
-    # (src/esa.cxx:457-469, src/process.cxx:171-184).  Chained + summed
-    # on device so async dispatch and host fetch can't skew it.
-    from phylonium_tpu.data.sequence import revcomp
-    from phylonium_tpu.ops.anchor_extend_pallas import (
-        _diagonal_neq_pallas,
-        pad_text2,
+    # (src/esa.cxx:457-469, src/process.cxx:171-184)
+    anchor_extend_gbp_s = (
+        measure_anchor_extend(genomes[0], length) if use_pallas else 0.0
     )
 
-    ext_tile = 8192
-    s_text = np.frombuffer(
-        genomes[0] + b"#" + revcomp(genomes[0]), dtype=np.uint8
-    )
-    s_dev = jnp.asarray(pad_text2(s_text, "a", ext_tile))
-    s_dev2 = jnp.asarray(pad_text2(s_text, "b", ext_tile))
-    n_jobs = 64
-    ext_len = int(min(max(length // 2, ext_tile), 1 << 19))
-    ext_off = np.linspace(
-        0, len(s_text) - ext_len - 1, n_jobs
-    ).astype(np.int32)
-    lims = jnp.full((n_jobs,), len(s_text), jnp.int32)
-    ext_reps = 16
-
-    def chained_ext(off):
-        def body(i, carry):
-            total, o = carry
-            bits = _diagonal_neq_pallas(
-                s_dev, s_dev2, o, o, lims, lims, ext_len, ext_tile
-            )
-            s = bits.sum(dtype=jnp.int32)
-            return total + s, (o + s % 1).astype(jnp.int32)
-
-        return jax.lax.fori_loop(
-            0, ext_reps, body, (jnp.int32(0), off)
-        )[0]
-
-    ext_jit = jax.jit(chained_ext)
-    int(ext_jit(jnp.asarray(ext_off)))  # warm/compile
-    t0 = time.time()
-    int(ext_jit(jnp.asarray(ext_off)))
-    t_ext = time.time() - t0
-    anchor_extend_gbp_s = ext_reps * n_jobs * ext_len / t_ext / 1e9
 
     # host oracle baseline: the reference-style byte loop on a sample of
     # column range, extrapolated (numpy-vectorized stand-in for seqcmp)
