@@ -158,7 +158,7 @@ def measure_anchor_extend(genome: bytes, length: int) -> float:
     )
     s_dev = jnp.asarray(pad_text2(s_text, "a", ext_tile))
     s_dev2 = jnp.asarray(pad_text2(s_text, "b", ext_tile))
-    n_jobs = 64
+    n_jobs = 128
     ext_len = int(min(max(length // 2, ext_tile), 1 << 19))
     ext_off = np.linspace(
         0, len(s_text) - ext_len - 1, n_jobs

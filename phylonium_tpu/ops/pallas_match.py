@@ -305,19 +305,24 @@ def cross_counts_pallas(
 _PACKED_PAD = INVALID | (INVALID << 4)
 
 
-def pack_states(states: np.ndarray, n_pad: int) -> np.ndarray:
+def pack_states(
+    states: np.ndarray, n_pad: int, width: int | None = None
+) -> np.ndarray:
     """Split-layout nibble packing: byte [g, j] = state[g, j] |
     state[g, j + L2] << 4 with L2 = ceil(L/2) (odd tails pad INVALID).
     Halves transfer + HBM bytes; states are 0..10 so they fit 4 bits.
+    ``width`` right-pads with packed-INVALID columns (padding on host
+    saves a device pad program per run).
     """
     n, length = states.shape
     l2 = -(-max(length, 1) // 2)
+    width = max(width or l2, l2)
     lo = np.full((n, l2), INVALID, dtype=np.uint8)
     hi = np.full((n, l2), INVALID, dtype=np.uint8)
     lo[:, : min(l2, length)] = states[:, :l2]
     hi[:, : length - l2] = states[:, l2:]
-    out = np.full((n_pad, l2), _PACKED_PAD, dtype=np.uint8)
-    out[:n] = lo | (hi << 4)
+    out = np.full((n_pad, width), _PACKED_PAD, dtype=np.uint8)
+    out[:n, :l2] = lo | (hi << 4)
     return out
 
 
@@ -336,10 +341,12 @@ def pair_counts_pallas(
 
     packed = isinstance(states, np.ndarray)
     if packed:
-        states = jnp.asarray(pack_states(states, n_pad))
         if block is None:
             block = max(128, default_block_cols(n_pad) // 2)
         cap = _MAX_COLS_PER_CALL // 2
+        l2 = -(-max(states.shape[1], 1) // 2)
+        width = bucket_cols(l2, block) if l2 <= cap else l2
+        states = jnp.asarray(pack_states(states, n_pad, width))
     else:
         if block is None:
             block = default_block_cols(n_pad)
