@@ -201,3 +201,21 @@ def test_short_flag_bundling(pair_dir, capsys):
     assert _expand_bundles(["-vvt", "4"]) == ["-v", "-v", "-t", "4"]
     assert _expand_bundles(["-rfile.fa"]) == ["-r", "file.fa"]
     assert _expand_bundles(["--", "-2v"]) == ["--", "-2v"]
+
+
+def test_profile_flag_writes_trace(tmp_path, pair_dir):
+    """--profile DIR produces a jax profiler trace directory."""
+    import os
+
+    from phylonium_tpu.cli import main
+
+    files = sorted(str(f) for f in pair_dir.glob("*.fasta"))
+    prof = tmp_path / "trace"
+    rc = main(
+        ["--progress=never", f"--profile={prof}", *files]
+    )
+    assert rc == 0
+    found = []
+    for root, _dirs, names in os.walk(prof):
+        found += [n for n in names if n.endswith((".xplane.pb", ".json.gz"))]
+    assert found, "no profiler artifacts written"

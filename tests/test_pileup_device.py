@@ -116,3 +116,16 @@ def test_counts_match_host_path(rng, make_genome):
     s2, h2 = pair_counts_numpy(dev)
     np.testing.assert_array_equal(s1, s2)
     np.testing.assert_array_equal(h1, h2)
+
+
+def test_row_group_splitting(rng, make_genome, monkeypatch):
+    """Force the >int32-bases group split path and compare to host."""
+    import phylonium_tpu.ops.pileup_device as pd
+
+    monkeypatch.setattr(pd, "_MAX_GROUP_BASES", 1500)
+    queries, homologies = [], []
+    for g in range(5):
+        q = np.frombuffer(make_genome(rng, 900), np.uint8)
+        queries.append(q)
+        homologies.append([_hom(g % 2, 40 * g, 10, 300)])
+    _compare(queries, homologies, 800)
