@@ -69,7 +69,7 @@ def _write_fasta(path, name, arr, contigs, rng):
                 f.write(s[i : i + 70] + "\n")
 
 
-@pytest.mark.parametrize("seed", [11, 23, 47])
+@pytest.mark.parametrize("seed", [11, 23, 47, 83, 131])
 def test_structural_fuzz_matches_reference(oracle, tmp_path, seed):  # noqa: F811
     rng = np.random.default_rng(seed)
     n_genomes = int(rng.integers(4, 7))

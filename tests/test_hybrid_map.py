@@ -124,3 +124,34 @@ def test_hybrid_through_pipeline_matrix(rng, make_genome, make_mutant):
     want = process(queries[0], queries, cfg_d)
     np.testing.assert_array_equal(got.substitutions, want.substitutions)
     np.testing.assert_array_equal(got.homologs, want.homologs)
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303, 404])
+def test_hybrid_structural_sweep(seed):
+    """Randomized structural cases: parity on every chain-rule branch."""
+    rng = np.random.default_rng(seed)
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    base = acgt[rng.integers(0, 4, 4000)].tobytes()
+
+    def mutate(s, p):
+        arr = np.frombuffer(s, np.uint8).copy()
+        idx = np.flatnonzero(rng.random(arr.size) < p)
+        arr[idx] = acgt[
+            (np.searchsorted(acgt, arr[idx]) + rng.integers(1, 4, idx.size))
+            % 4
+        ]
+        return arr.tobytes()
+
+    queries = []
+    for _ in range(4):
+        g = mutate(base, float(rng.uniform(0.005, 0.08)))
+        k = int(rng.integers(0, 3))
+        if k == 1:  # inversion
+            lo = int(rng.integers(0, 2000))
+            hi = lo + int(rng.integers(200, 1500))
+            g = g[:lo] + revcomp(g[lo:hi]) + g[hi:]
+        elif k == 2:  # translocation + contig split
+            cut = int(rng.integers(500, 3500))
+            g = g[cut:] + b"!" + g[:cut]
+        queries.append(g)
+    _check_parity(base, queries, chunk=int(rng.choice([512, 4096])))
