@@ -280,8 +280,7 @@ def main():
                 s, (acc[:1, :1] % 11).astype(jnp.uint8), (0, 0)
             )
             if use_pallas:
-                m, h = _pallas_counts(s, block)
-                m = m.astype(jnp.int32)
+                m = _pallas_counts(s, block)[0].astype(jnp.int32)
             else:
                 from phylonium_tpu.ops.match_matrix import (
                     _pair_counts_scanned,

@@ -243,6 +243,23 @@ def main(argv: list[str] | None = None) -> int:
 
     enable_compile_cache()
 
+    # start the device backend handshake now (tunnelled TPU init can
+    # take seconds); it proceeds while we read and index on the host
+    if cfg.count_backend != "numpy":
+        import threading
+
+        def _init_backend():
+            try:
+                import jax
+
+                jax.devices()
+            except Exception:
+                pass
+
+        threading.Thread(
+            target=_init_backend, daemon=True, name="backend-init"
+        ).start()
+
     if cfg.print_positions:
         import os
 

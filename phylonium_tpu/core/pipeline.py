@@ -193,8 +193,8 @@ def prewarm_counts(n: int, ref_len: int, cfg: RunConfig):
             l2 = -(-max(ref_len, 1) // 2)
             cols = bucket_cols(min(l2, _MAX_COLS_PER_CALL // 2), block)
             dummy = jnp.full((n_pad, cols), _PACKED_PAD, jnp.uint8)
-            m, _h = _pallas_counts(dummy, block, packed=True)
-            jax.block_until_ready(m)
+            out = _pallas_counts(dummy, block, packed=True)
+            jax.block_until_ready(out)
         except Exception:
             pass  # prewarm is best-effort; the real call will compile
 

@@ -181,7 +181,9 @@ def _pallas_counts(
         ],
         interpret=interpret,
     )(states)
-    return matches, homs
+    # stacked [2, n, n] so callers fetch one array (every extra device
+    # op / fetch is a separately compiled+loaded program on a tunnel)
+    return jnp.stack((matches, homs))
 
 
 def _pad_rows(n: int) -> int:
@@ -373,9 +375,10 @@ def pair_counts_pallas(
         results.append(_pallas_counts(chunk, block, interpret, packed))
     # one stacked fetch: each host<->device round trip has a large fixed
     # latency on tunnelled deployments, so never fetch arrays one by one
-    stacked = np.asarray(
-        jnp.stack([jnp.stack(mh) for mh in results])
-    ).astype(np.int64)
+    if len(results) == 1:
+        stacked = np.asarray(results[0]).astype(np.int64)[None]
+    else:
+        stacked = np.asarray(jnp.stack(results)).astype(np.int64)
     matches += stacked[:, 0].sum(axis=0)
     homs += stacked[:, 1].sum(axis=0)
 
