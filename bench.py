@@ -339,13 +339,23 @@ def main():
     # a second, larger panel shows the O(N^2) comparison-phase scaling
     e2e = {}
     if os.environ.get("PHYLONIUM_TPU_BENCH_E2E", "1") != "0":
-        e2e = end_to_end_vs_reference(genomes)
+        # host CPU and tunnel swing ~10x between runs on this
+        # environment; min-of-2 sheds a single degraded phase
+        runs = [end_to_end_vs_reference(genomes) for _ in range(2)]
+        runs = [r for r in runs if r]
+        if runs:
+            e2e = min(runs, key=lambda r: r["e2e_tpu_s"])
+            e2e["e2e_ref_s"] = min(r["e2e_ref_s"] for r in runs)
+            e2e["e2e_speedup"] = round(
+                e2e["e2e_ref_s"] / e2e["e2e_tpu_s"], 3
+            )
+            e2e["e2e_identical"] = all(r["e2e_identical"] for r in runs)
         # 4x panel: the reference's comparison phase is O(N^2 * L) on
         # host; this is where the device path's scaling shows
         large_n = 4 * n
         prewarm_shape(large_n, length)  # subprocess then hits the cache
         large = end_to_end_vs_reference(
-            simulate_panel(large_n, length, seed=61)
+            simulate_panel(large_n, length, seed=61), timeout_s=560
         )
         e2e.update(
             {k.replace("e2e", f"e2e_n{large_n}"): v for k, v in large.items()}
