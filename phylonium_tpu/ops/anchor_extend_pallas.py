@@ -51,6 +51,9 @@ def _kernel(offa_ref, offb_ref, lima_ref, limb_ref,
     sa = offa_ref[j] % tile
     sb = offb_ref[j] % tile
 
+    # i32 widening: Mosaic v5e has no i8 vector arithmetic, and
+    # tpu.dynamic_rotate (pltpu.roll) only supports 32-bit data, so i16
+    # cannot be used here either
     wa = jnp.concatenate([a0[:], a1[:]], axis=1).astype(jnp.int32)
     wb = jnp.concatenate([b0[:], b1[:]], axis=1).astype(jnp.int32)
     va = pltpu.roll(wa, -sa, 1)[:, :tile]
