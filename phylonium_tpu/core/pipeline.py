@@ -178,20 +178,14 @@ def prewarm_counts(n: int, ref_len: int, cfg: RunConfig):
             import jax.numpy as jnp
 
             from phylonium_tpu.ops.pallas_match import (
-                _MAX_COLS_PER_CALL,
                 _PACKED_PAD,
-                _pad_rows,
                 _pallas_counts,
-                bucket_cols,
-                default_block_cols,
+                packed_call_shape,
             )
 
             if n > ROW_BLOCK_THRESHOLD:
                 return  # blocked path: panels warm on first use
-            n_pad = _pad_rows(n)
-            block = max(128, default_block_cols(n_pad) // 2)
-            l2 = -(-max(ref_len, 1) // 2)
-            cols = bucket_cols(min(l2, _MAX_COLS_PER_CALL // 2), block)
+            n_pad, block, cols = packed_call_shape(n, ref_len)
             dummy = jnp.full((n_pad, cols), _PACKED_PAD, jnp.uint8)
             out = _pallas_counts(dummy, block, packed=True)
             jax.block_until_ready(out)

@@ -307,6 +307,21 @@ def cross_counts_pallas(
 _PACKED_PAD = INVALID | (INVALID << 4)
 
 
+def packed_call_shape(n: int, length: int) -> tuple[int, int, int]:
+    """(n_pad, block, first_chunk_cols) for the packed counting path.
+
+    Single source of truth shared by pair_counts_pallas and the compile
+    prewarm (core/pipeline.prewarm_counts) — if these derivations ever
+    drifted apart the prewarm would silently compile a useless shape.
+    """
+    n_pad = _pad_rows(n)
+    block = max(128, default_block_cols(n_pad) // 2)
+    cap = _MAX_COLS_PER_CALL // 2
+    l2 = -(-max(length, 1) // 2)
+    cols = bucket_cols(min(l2, cap), block)
+    return n_pad, block, cols
+
+
 def pack_states(
     states: np.ndarray, n_pad: int, width: int | None = None
 ) -> np.ndarray:
@@ -343,11 +358,14 @@ def pair_counts_pallas(
 
     packed = isinstance(states, np.ndarray)
     if packed:
-        if block is None:
-            block = max(128, default_block_cols(n_pad) // 2)
         cap = _MAX_COLS_PER_CALL // 2
         l2 = -(-max(states.shape[1], 1) // 2)
-        width = bucket_cols(l2, block) if l2 <= cap else l2
+        if block is None:
+            _, block, width = packed_call_shape(n, states.shape[1])
+            if l2 > cap:
+                width = l2
+        else:
+            width = bucket_cols(l2, block) if l2 <= cap else l2
         states = jnp.asarray(pack_states(states, n_pad, width))
     else:
         if block is None:
