@@ -40,27 +40,33 @@ from phylonium_tpu.io.fasta import read_genome
 from phylonium_tpu.io.phylip import print_matrix
 
 USAGE = """Usage: phylonium-tpu [OPTIONS] FILES...
-\tFILES... can be any sequence of FASTA files, each file representing one genome.
+\tEach FASTA file is one genome (multi-contig files are fine).
 
 Options:
-  -2, --2pass          Enable two-pass algorithm
-  -b, --bootstrap=N    Print additional bootstrap matrices
-  --complete-deletion  Delete the whole aligned column in case of gaps
-  -p FILE              Print reference positions to FILE (implies complete deletion)
-    --progress=WHEN    Print a progress bar 'always', 'never', or 'auto'; default: auto
-  -r FILE              Set the reference genome
-  -t, --threads=N      The number of threads to be used; by default, all available processors are used
-  -v, --verbose        Print additional information
-      --distance=OPT   Choose between raw, jc corrected and ANI
-      --esa-backend=B  Index backend: 'native', 'numpy', or 'auto' (default)
-      --count-backend=B  Pair counting: 'pallas', 'device', 'numpy', or 'auto' (default)
-      --map-backend=B  Mapping: 'native', 'python', 'hybrid' (device anchor extension), or 'auto' (default)
+  -2, --2pass          Rerun with the most central genome as reference
+  -b, --bootstrap=N    Also print N-1 bootstrapped distance matrices
+  --complete-deletion  Keep only reference columns covered in every genome
+  -p FILE              Write per-column variant positions to FILE
+                       (turns on complete deletion)
+    --progress=WHEN    Progress bars on stderr: always/never/auto (default)
+  -r FILE              Use FILE's genome as the mapping reference
+  -t, --threads=N      Host worker threads (default: all cores)
+  -v, --verbose        More diagnostics on stderr (repeat for timings)
+      --distance=OPT   Output scale: 'jc' (default), 'raw', or 'ani'
+      --esa-backend=B  Suffix index: 'native', 'numpy', or 'auto' (default)
+      --count-backend=B  Pair counting: 'pallas', 'device', 'host',
+                       'numpy', or 'auto' (default: race the device
+                       kernel against the host while it compiles)
+      --map-backend=B  Mapping: 'native', 'python', 'hybrid' (device
+                       anchor extension), or 'auto' (default)
+      --mesh=R,C       Count across an RxC device mesh (default: every
+                       visible device when more than one is present)
       --checkpoint=DIR Reuse/persist anchor-mapping results in DIR
                        (content-addressed; reruns and grown panels skip
                        already-mapped genomes)
       --profile=DIR    Write a jax.profiler trace of the run to DIR
-  -h, --help           Display this help and exit
-      --version        Output version information and acknowledgments
+  -h, --help           This text
+      --version        Version and citation information
 """
 
 
@@ -199,6 +205,10 @@ def parse_args(argv: list[str]) -> tuple[RunConfig, list[str]]:
             cfg.count_backend = (
                 arg.split("=", 1)[1] if "=" in arg else take_value(arg)
             )
+        elif arg == "--mesh" or arg.startswith("--mesh="):
+            cfg.mesh = (
+                arg.split("=", 1)[1] if "=" in arg else take_value(arg)
+            )
         elif arg == "--map-backend" or arg.startswith("--map-backend="):
             cfg.map_backend = (
                 arg.split("=", 1)[1] if "=" in arg else take_value(arg)
@@ -245,7 +255,7 @@ def main(argv: list[str] | None = None) -> int:
 
     # start the device backend handshake now (tunnelled TPU init can
     # take seconds); it proceeds while we read and index on the host
-    if cfg.count_backend != "numpy":
+    if cfg.count_backend not in ("numpy", "host"):
         import threading
 
         def _init_backend():

@@ -29,8 +29,10 @@ class RunConfig:
     reference_name: str = ""
     anchor_p_value: float = 0.025
     esa_backend: str | None = None  # None/'auto' | 'native' | 'numpy'
-    count_backend: str = "auto"  # 'auto' | 'pallas' | 'device' | 'numpy'
+    # 'auto' | 'pallas' | 'device' | 'host' | 'numpy'
+    count_backend: str = "auto"
     map_backend: str = "auto"  # 'auto' | 'native' | 'python' | 'hybrid'
+    mesh: str = ""  # 'R,C' device mesh for counting ('' = all devices)
     checkpoint_dir: str = ""  # reuse/persist mapping results here
     profile_dir: str = ""  # write a jax.profiler trace here
     return_code: int = 0

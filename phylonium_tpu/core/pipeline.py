@@ -130,21 +130,29 @@ ROW_BLOCK_THRESHOLD = 512
 def _use_pallas(cfg: RunConfig) -> bool:
     if cfg.count_backend == "pallas":
         return True
-    if cfg.count_backend != "auto":
+    if cfg.count_backend not in ("auto", "device"):
         return False
     import jax
 
     return jax.devices()[0].platform == "tpu"
 
 
-def pair_counts(
-    states: np.ndarray, cfg: RunConfig
-) -> tuple[np.ndarray, np.ndarray]:
-    backend = cfg.count_backend
-    if backend == "numpy":
-        from phylonium_tpu.ops.match_table import pair_counts_numpy
+def _mesh_device_count(cfg: RunConfig) -> int:
+    """Devices the counting mesh would span (0 = single-device path)."""
+    if cfg.count_backend in ("numpy", "host"):
+        return 0
+    if cfg.mesh:
+        rows, _, cols = cfg.mesh.partition(",")
+        return int(rows) * int(cols or "1")
+    import jax
 
-        return pair_counts_numpy(states)
+    n = len(jax.devices())
+    return n if n > 1 else 0
+
+
+def _pair_counts_device(states: np.ndarray, cfg: RunConfig):
+    """Single-device counting: fused Pallas kernel on TPU, XLA einsum
+    elsewhere."""
     if _use_pallas(cfg):
         from phylonium_tpu.ops.pallas_match import (
             pair_counts_pallas,
@@ -159,35 +167,141 @@ def pair_counts(
     return pair_counts_device(states)
 
 
+def _pair_counts_mesh(states: np.ndarray, cfg: RunConfig):
+    """Production multi-chip counting over a ('rows','cols') mesh.
+
+    The TPU analogue of the reference's omp-parallel compare loop
+    (src/process.cxx:524): pair blocks are data-parallel across every
+    chip; exact int32 partials merge with a psum, so the matrix is
+    bit-identical to the single-device path for any mesh shape.
+    """
+    import jax
+
+    from phylonium_tpu.parallel.distributed import pair_counts_sharded
+    from phylonium_tpu.parallel.mesh import make_mesh
+
+    if cfg.mesh:
+        rows, _, cols = cfg.mesh.partition(",")
+        shape = (int(rows), int(cols or "1"))
+        devices = jax.devices()[: shape[0] * shape[1]]
+        mesh = make_mesh(shape, devices=devices)
+    else:
+        from phylonium_tpu.parallel.multihost import make_pod_mesh
+
+        mesh = make_pod_mesh()
+    return pair_counts_sharded(states, mesh)
+
+
+def _race_host(states, device_fn):
+    """Run ``device_fn`` on a thread while counting on the host; return
+    whichever finishes first (results are bit-identical by construction).
+
+    This is what makes a cold start fast: the first-ever run on a fresh
+    machine pays a remote XLA compile that can take minutes, and the
+    host path (native AVX2 kernel, ops/bitplane_host.py fallback)
+    finishes long before that.  Once the persistent compile cache is
+    seeded the device wins the race and the host thread aborts after at
+    most one column chunk.
+    """
+    import threading
+
+    from phylonium_tpu.ops.bitplane_host import pair_counts_host
+
+    outcome: dict = {}
+    done = threading.Event()
+
+    def device_work():
+        try:
+            outcome["result"] = device_fn()
+        except Exception:
+            pass
+        finally:
+            done.set()
+
+    t = threading.Thread(
+        target=device_work, daemon=True, name="compare-device"
+    )
+    t.start()
+    host_result = pair_counts_host(states, poll=done.is_set)
+    if host_result is not None and "result" not in outcome:
+        return host_result
+    done.wait()
+    if "result" in outcome:
+        return outcome["result"]
+    # device path failed and the host run was aborted: redo on host
+    return pair_counts_host(states)
+
+
+def pair_counts(
+    states: np.ndarray, cfg: RunConfig
+) -> tuple[np.ndarray, np.ndarray]:
+    """All-pairs (substitutions, homologs) — the production dispatch.
+
+    numpy    scalar oracle (tiny inputs, tests)
+    host     native AVX2 / bitplane popcount on the host
+    mesh     every available chip via shard_map + psum (auto whenever
+             the runtime exposes more than one device, or --mesh R,C)
+    device   single-chip Pallas (TPU) or XLA einsum, raced against the
+             host so a cold compile cache never blocks a run
+    """
+    backend = cfg.count_backend
+    if backend == "numpy":
+        from phylonium_tpu.ops.match_table import pair_counts_numpy
+
+        return pair_counts_numpy(states)
+    if backend == "host":
+        from phylonium_tpu.ops.bitplane_host import pair_counts_host
+
+        return pair_counts_host(states)
+
+    if _mesh_device_count(cfg) > 1:
+        return _pair_counts_mesh(states, cfg)
+
+    if backend == "auto" and _use_pallas(cfg):
+        return _race_host(states, lambda: _pair_counts_device(states, cfg))
+    return _pair_counts_device(states, cfg)
+
+
 def prewarm_counts(n: int, ref_len: int, cfg: RunConfig):
     """Start compiling the counting kernel in the background.
 
     Remote (tunnelled) XLA compiles can take from seconds to minutes;
     the kernel shapes are fully determined by (n, ref_len) thanks to
     shape bucketing, so compilation overlaps the host-side index build
-    and mapping phases.  Returns the thread (daemon; safe to ignore).
+    and mapping phases.  Everything jax-related (including backend
+    discovery, which blocks on the tunnel handshake) happens on the
+    worker thread.  Returns the thread (daemon; safe to ignore).
     """
     import threading
 
-    if not _use_pallas(cfg):
-        return None  # CPU/XLA compiles are local and fast
+    if cfg.count_backend not in ("auto", "pallas"):
+        return None
 
     def work():
         try:
+            if not _use_pallas(cfg):
+                return  # CPU/XLA compiles are local and fast
             import jax
             import jax.numpy as jnp
 
             from phylonium_tpu.ops.pallas_match import (
                 _PACKED_PAD,
                 _pallas_counts,
+                blocked_call_shape,
+                cross_counts_pallas,
                 packed_call_shape,
             )
 
             if n > ROW_BLOCK_THRESHOLD:
-                return  # blocked path: panels warm on first use
-            n_pad, block, cols = packed_call_shape(n, ref_len)
-            dummy = jnp.full((n_pad, cols), _PACKED_PAD, jnp.uint8)
-            out = _pallas_counts(dummy, block, packed=True)
+                # blocked path: warm the rectangular panel kernel at the
+                # exact first-call shape
+                rb_pad, block, cols = blocked_call_shape(n, ref_len)
+                dummy = jnp.full((rb_pad, cols), _PACKED_PAD, jnp.uint8)
+                out = cross_counts_pallas(dummy, dummy, block, packed=True)
+            else:
+                n_pad, block, cols = packed_call_shape(n, ref_len)
+                dummy = jnp.full((n_pad, cols), _PACKED_PAD, jnp.uint8)
+                out = _pallas_counts(dummy, block, packed=True)
             jax.block_until_ready(out)
         except Exception:
             pass  # prewarm is best-effort; the real call will compile

@@ -79,6 +79,15 @@ def get_lib() -> ctypes.CDLL:
         ]
         lib.phy_set_threads.argtypes = [ctypes.c_int]
         lib.phy_num_procs.restype = ctypes.c_int
+        lib.phy_pair_counts.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = lib
     return _lib
 
@@ -127,6 +136,35 @@ def revseqcmp(a: np.ndarray, b: np.ndarray) -> int:
     a = np.ascontiguousarray(a, dtype=np.uint8)
     b = np.ascontiguousarray(b, dtype=np.uint8)
     return int(lib.phy_revseqcmp(_u8ptr(a), _u8ptr(b), a.size))
+
+
+def pair_counts_range(
+    states: np.ndarray,
+    col_lo: int,
+    col_hi: int,
+    subs: np.ndarray,
+    homs: np.ndarray,
+) -> None:
+    """Accumulate all-pairs (substitutions, homologs) over a column range.
+
+    AVX2 nibble-shuffle kernel with OpenMP over pairs; the host-side
+    counterpart of ops/pallas_match.py used by the adaptive compare
+    backend while the device kernel compiles.  ``subs``/``homs`` are
+    [n, n] int64 accumulators the caller zeroes once; chunking columns
+    lets the caller poll for a faster backend between calls.
+    """
+    lib = get_lib()
+    assert states.dtype == np.uint8 and states.flags.c_contiguous
+    n, stride = states.shape
+    lib.phy_pair_counts(
+        _u8ptr(states),
+        n,
+        stride,
+        col_lo,
+        col_hi,
+        _i64ptr(subs),
+        _i64ptr(homs),
+    )
 
 
 def _decode_homologies(buf, counts: np.ndarray) -> list[list[Homology]]:

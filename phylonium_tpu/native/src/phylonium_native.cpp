@@ -639,6 +639,150 @@ i64 phy_map_queries(void *h, const u8 *qdata, const i64 *offsets, i64 nq,
 
 void phy_free(void *p) { std::free(p); }
 
+// ---------------------------------------------------------------------------
+// Host pair counting over the pileup state matrix (cold-start fallback of
+// the adaptive compare backend; the hot path is the Pallas kernel in
+// phylonium_tpu/ops/pallas_match.py).  States are the 11-value encoding of
+// core/pileup.py: base(5) x strand(2), INVALID = 10.
+//
+// Match rule (ops/match_table.py): same strand -> equal states; opposite
+// strands -> one of six byte-complement pairs, including the '!'/T ASCII
+// quirk.  Because states fit a nibble, the AVX2 path resolves the
+// cross-strand rule with two in-register 16-entry shuffles per 32 columns
+// instead of a table gather.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr u8 PILE_INVALID = 10;
+
+// cross-strand partners: state s (one strand) matches partner_a/b[s] (the
+// other strand); 0xFF = no partner.  T has two partners (A and the '!'
+// quirk), every other base has at most one.
+struct CrossTables {
+    u8 a[16];
+    u8 b[16];
+};
+
+static CrossTables make_cross_tables() {
+    CrossTables t;
+    const u8 bytes[5] = {'A', 'C', 'G', 'T', '!'};
+    for (int s = 0; s < 16; s++) t.a[s] = t.b[s] = 0xFF;
+    for (int s = 0; s < 10; s++) {
+        int sb = bytes[s % 5], sd = s / 5;
+        int slot = 0;
+        for (int q = 0; q < 10; q++) {
+            int qb = bytes[q % 5], qd = q / 5;
+            if (sd == qd) continue;
+            if (((sb ^ qb) & 6) == 4) {
+                (slot++ ? t.b : t.a)[s] = (u8)q;
+            }
+        }
+    }
+    return t;
+}
+
+static const CrossTables CROSS = make_cross_tables();
+
+// scalar tile: counts for one pair over [lo, hi) columns
+static void count_pair_scalar(const u8 *a, const u8 *b, i64 len,
+                              i64 *matches, i64 *valid) {
+    i64 m = 0, v = 0;
+    for (i64 k = 0; k < len; k++) {
+        u8 x = a[k], y = b[k];
+        bool ok = x != PILE_INVALID && y != PILE_INVALID;
+        v += ok;
+        m += (x == y && ok) || y == CROSS.a[x] || y == CROSS.b[x];
+    }
+    *matches += m;
+    *valid += v;
+}
+
+}  // namespace
+
+#ifdef __AVX2__
+#include <immintrin.h>
+
+namespace {
+
+static void count_pair_avx2(const u8 *a, const u8 *b, i64 len, i64 *matches,
+                            i64 *valid) {
+    const __m256i inv = _mm256_set1_epi8((char)PILE_INVALID);
+    const __m256i one = _mm256_set1_epi8(1);
+    const __m256i zero = _mm256_setzero_si256();
+    const __m128i ta = _mm_loadu_si128((const __m128i *)CROSS.a);
+    const __m128i tb = _mm_loadu_si128((const __m128i *)CROSS.b);
+    const __m256i cross_a = _mm256_broadcastsi128_si256(ta);
+    const __m256i cross_b = _mm256_broadcastsi128_si256(tb);
+
+    __m256i macc = _mm256_setzero_si256();
+    __m256i vacc = _mm256_setzero_si256();
+
+    i64 k = 0;
+    for (; k + 32 <= len; k += 32) {
+        __m256i x = _mm256_loadu_si256((const __m256i *)(a + k));
+        __m256i y = _mm256_loadu_si256((const __m256i *)(b + k));
+        __m256i x_ok = _mm256_andnot_si256(
+            _mm256_cmpeq_epi8(x, inv), _mm256_set1_epi8((char)0xFF));
+        __m256i y_ok = _mm256_andnot_si256(
+            _mm256_cmpeq_epi8(y, inv), _mm256_set1_epi8((char)0xFF));
+        __m256i ok = _mm256_and_si256(x_ok, y_ok);
+        // same-strand: equal states (both valid)
+        __m256i same = _mm256_and_si256(_mm256_cmpeq_epi8(x, y), ok);
+        // cross-strand: y equals one of x's complement partners
+        __m256i p1 = _mm256_shuffle_epi8(cross_a, x);
+        __m256i p2 = _mm256_shuffle_epi8(cross_b, x);
+        __m256i cross = _mm256_or_si256(_mm256_cmpeq_epi8(y, p1),
+                                        _mm256_cmpeq_epi8(y, p2));
+        __m256i match = _mm256_or_si256(same, cross);
+        // psadbw of 0/1 bytes gives exact per-64-bit-lane sums
+        macc = _mm256_add_epi64(
+            macc, _mm256_sad_epu8(_mm256_and_si256(match, one), zero));
+        vacc = _mm256_add_epi64(
+            vacc, _mm256_sad_epu8(_mm256_and_si256(ok, one), zero));
+    }
+
+    alignas(32) i64 tmp[4];
+    _mm256_store_si256((__m256i *)tmp, macc);
+    i64 m = tmp[0] + tmp[1] + tmp[2] + tmp[3];
+    _mm256_store_si256((__m256i *)tmp, vacc);
+    i64 v = tmp[0] + tmp[1] + tmp[2] + tmp[3];
+    *matches += m;
+    *valid += v;
+    if (k < len) count_pair_scalar(a + k, b + k, len - k, matches, valid);
+}
+
+}  // namespace
+#endif  // __AVX2__
+
+// All-pairs (substitutions, homologs) over pileup columns [col_lo, col_hi).
+// `states` is the row-major [n, stride] uint8 matrix; counts ACCUMULATE
+// into subs/homs (callers zero them first and may chunk the column range
+// to poll for a faster backend between calls).
+void phy_pair_counts(const u8 *states, i64 n, i64 stride, i64 col_lo,
+                     i64 col_hi, i64 *subs, i64 *homs) {
+    i64 len = col_hi - col_lo;
+    if (len <= 0 || n <= 0) return;
+
+#pragma omp parallel for schedule(dynamic)
+    for (i64 i = 0; i < n - 1; i++) {
+        for (i64 j = i + 1; j < n; j++) {
+            const u8 *a = states + i * stride + col_lo;
+            const u8 *b = states + j * stride + col_lo;
+            i64 m = 0, v = 0;
+#ifdef __AVX2__
+            count_pair_avx2(a, b, len, &m, &v);
+#else
+            count_pair_scalar(a, b, len, &m, &v);
+#endif
+            subs[i * n + j] += v - m;
+            subs[j * n + i] += v - m;
+            homs[i * n + j] += v;
+            homs[j * n + i] += v;
+        }
+    }
+}
+
 // Standalone suffix array for tests: fills out[n].
 void phy_build_sa(const u8 *s, i64 n, i64 *out) {
     auto sa = build_sa_bytes(s, n);

@@ -157,6 +157,12 @@ def _pallas_counts(
     packed: bool = False,
 ):
     n_pad, length = states.shape
+    # bucket_cols only yields block multiples for power-of-two blocks; a
+    # non-multiple width would silently drop trailing columns from grid
+    assert block & (block - 1) == 0 and length % block == 0, (
+        block,
+        length,
+    )
     grid = (length // block,)
 
     matches, homs = pl.pallas_call(
@@ -277,6 +283,10 @@ def cross_counts_pallas(
     """
     na, length = mine.shape
     nb, _ = everyone.shape
+    assert block & (block - 1) == 0 and length % block == 0, (
+        block,
+        length,
+    )
     grid = (length // block,)
 
     matches, homs = pl.pallas_call(
@@ -320,6 +330,22 @@ def packed_call_shape(n: int, length: int) -> tuple[int, int, int]:
     l2 = -(-max(length, 1) // 2)
     cols = bucket_cols(min(l2, cap), block)
     return n_pad, block, cols
+
+
+def blocked_call_shape(
+    n: int, length: int, row_block: int = 512
+) -> tuple[int, int, int]:
+    """(rb_pad, block, first_chunk_cols) for the packed row-blocked path.
+
+    Single source of truth shared by pair_counts_pallas_blocked and the
+    compile prewarm, like :func:`packed_call_shape` for the flat path.
+    """
+    rb_pad = _pad_rows(row_block)
+    block = max(128, default_block_cols(2 * rb_pad) // 2)
+    cap = _MAX_COLS_PER_CALL // 2
+    l2 = -(-max(length, 1) // 2)
+    cols = bucket_cols(min(l2, cap), block)
+    return rb_pad, block, cols
 
 
 def pack_states(
@@ -428,9 +454,9 @@ def pair_counts_pallas_blocked(
 
     packed = isinstance(states, np.ndarray)
     if packed:
-        states = jnp.asarray(pack_states(states, n))
         if block is None:
-            block = max(128, default_block_cols(2 * rb_pad) // 2)
+            _, block, _ = blocked_call_shape(n, length, row_block)
+        states = jnp.asarray(pack_states(states, n))
         cap = _MAX_COLS_PER_CALL // 2
         fill = _PACKED_PAD
     else:

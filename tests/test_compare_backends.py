@@ -1,0 +1,132 @@
+"""The adaptive compare backend: host counting, the device race, and the
+production mesh dispatch.
+
+All counting paths must agree bit-exactly (CLAUDE.md invariant); these
+tests pin the new pieces to the scalar oracle (ops/match_table.py).
+"""
+
+import numpy as np
+import pytest
+
+from phylonium_tpu.config import RunConfig
+from phylonium_tpu.core.pipeline import _race_host, pair_counts
+from phylonium_tpu.ops.bitplane_host import (
+    pair_counts_bitplanes,
+    pair_counts_host,
+)
+from phylonium_tpu.ops.match_table import pair_counts_numpy
+
+
+@pytest.fixture
+def states(rng):
+    # all 11 states, ragged coverage, odd width
+    return rng.integers(0, 11, size=(7, 30011), dtype=np.uint8)
+
+
+def test_bitplanes_match_oracle(states):
+    subs, homs = pair_counts_bitplanes(states)
+    s2, h2 = pair_counts_numpy(states)
+    assert (subs == s2).all() and (homs == h2).all()
+
+
+def test_native_host_matches_oracle(states):
+    pytest.importorskip("phylonium_tpu.native")
+    subs, homs = pair_counts_host(states)
+    s2, h2 = pair_counts_numpy(states)
+    assert (subs == s2).all() and (homs == h2).all()
+
+
+def test_host_poll_abort(states):
+    assert pair_counts_host(states, poll=lambda: True) is None
+    assert pair_counts_bitplanes(states, poll=lambda: True) is None
+
+
+def test_host_single_column_and_two_rows(rng):
+    st = rng.integers(0, 11, size=(2, 1), dtype=np.uint8)
+    subs, homs = pair_counts_host(st)
+    s2, h2 = pair_counts_numpy(st)
+    assert (subs == s2).all() and (homs == h2).all()
+
+
+def test_race_device_wins(states):
+    expected = pair_counts_numpy(states)
+    got = _race_host(states, lambda: expected)
+    assert got[0] is expected[0]
+
+
+def test_race_host_wins(states):
+    import threading
+
+    release = threading.Event()
+
+    def slow_device():
+        release.wait(timeout=30)
+        raise AssertionError("host should have won")
+
+    subs, homs = _race_host(states, slow_device)
+    release.set()
+    s2, h2 = pair_counts_numpy(states)
+    assert (subs == s2).all() and (homs == h2).all()
+
+
+def test_race_device_failure_falls_back_to_host(states):
+    def broken_device():
+        raise RuntimeError("compile service down")
+
+    subs, homs = _race_host(states, broken_device)
+    s2, h2 = pair_counts_numpy(states)
+    assert (subs == s2).all() and (homs == h2).all()
+
+
+def test_dispatch_host_backend(states):
+    cfg = RunConfig(count_backend="host")
+    subs, homs = pair_counts(states, cfg)
+    s2, h2 = pair_counts_numpy(states)
+    assert (subs == s2).all() and (homs == h2).all()
+
+
+def test_dispatch_mesh(states):
+    # conftest forces 8 virtual CPU devices; auto must take the mesh
+    # path and still match the oracle bit-exactly
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    cfg = RunConfig(count_backend="auto", mesh="2,4")
+    subs, homs = pair_counts(states, cfg)
+    s2, h2 = pair_counts_numpy(states)
+    assert (subs == s2).all() and (homs == h2).all()
+
+
+def test_cli_mesh_flag_byte_identical(tmp_path, rng):
+    import contextlib
+    import io
+
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+
+    from phylonium_tpu.cli import main
+
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    base = rng.choice(acgt, 9000)
+    files = []
+    for k, p in enumerate([0.0, 0.02, 0.05]):
+        arr = base.copy()
+        idx = np.flatnonzero(rng.random(arr.size) < p)
+        arr[idx] = acgt[(rng.integers(1, 4, idx.size) + idx) % 4]
+        path = tmp_path / f"g{k}.fasta"
+        path.write_bytes(b">g%d\n" % k + arr.tobytes() + b"\n")
+        files.append(str(path))
+
+    def run(*extra):
+        out = io.StringIO()
+        with contextlib.redirect_stdout(out):
+            assert main([*extra, *files]) == 0
+        return out.getvalue()
+
+    meshed = run("--mesh", "2,4")
+    single = run("--mesh", "1,1")
+    oracle = run("--count-backend", "numpy")
+    assert meshed == single == oracle
