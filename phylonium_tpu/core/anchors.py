@@ -1,28 +1,29 @@
-"""Anchor finding and homology extraction.
+"""Anchor seeding and homology segment extraction (Python oracle).
 
-Mirrors ``anchor_homologies`` (`src/process.cxx:198-295`) step for step —
-the exact-parity rules documented there:
+Behavioral spec, with the reference rules it must reproduce bit-exactly
+(`src/process.cxx:198-295`; parity enforced end-to-end by
+tests/test_oracle_parity.py):
 
-- an *anchor* is a longest match that is unique in the index
-  (SA interval ``i == j``) and at least ``threshold`` long
-  (src/process.cxx:219-225);
-- a *lucky anchor* is a cheap direct-text LCP check at the
-  diagonal-projected position, attempted when the gap since the last
-  anchor is at most ``threshold``; it needs no uniqueness
-  (src/process.cxx:227-242);
-- a *right anchor* is equidistant on subject and query
-  (``this_pos_Q - end_Q == this_pos_S - end_S``), strictly right of the
-  last anchor, and on the same strand side of the '#' border
-  (src/process.cxx:251-253); it extends the open homology across the gap;
-- otherwise the open homology is closed (kept iff it ended in a right
-  anchor or its single anchor satisfies ``last_length / 2 >= threshold``,
-  src/process.cxx:261,289) and a new one is opened;
-- the query cursor advances by ``this_length + 1`` even after failed
-  anchor probes (src/process.cxx:281);
-- identical-sequence special case (src/process.cxx:284-287).
+- a *seed* is accepted at the query cursor if it is either a unique
+  longest index match of at least ``threshold`` bases
+  (src/process.cxx:219-225), or — probed first because it is cheaper —
+  a plain text extension on the diagonal predicted by the previous seed,
+  attempted when the unseeded gap is at most ``threshold``; the diagonal
+  probe needs no uniqueness (src/process.cxx:227-242);
+- a seed *collinear* with the previous one (same diagonal:
+  equidistant on query and index text; strictly to the right; same
+  strand half of the doubled text, src/process.cxx:251-253) merges into
+  the open segment, spanning the gap;
+- a diagonal jump closes the open segment; it is kept iff it ever
+  absorbed a collinear seed or its founding seed was at least twice the
+  threshold (src/process.cxx:261,289);
+- the cursor advances by the last probe's match length + 1 even when
+  the probe produced no acceptable seed (src/process.cxx:281);
+- if a single seed covered the whole query the result is one full-query
+  segment (identical sequences, src/process.cxx:284-287).
 
-This Python implementation is the correctness oracle; the C++ backend
-(phylonium_tpu/native) implements the same loop for production speed and
+This implementation is the correctness oracle; the C++ backend
+(phylonium_tpu/native) implements the same spec for production speed and
 is tested for bit-identical output.
 """
 
@@ -34,82 +35,65 @@ from phylonium_tpu.index.esa import ESAIndex
 from phylonium_tpu.index.esa_numpy import lcp_bytes
 
 
-def anchor_homologies(ref: ESAIndex, threshold: int, seq: Sequence
-                      ) -> list[Homology]:
-    hv: list[Homology] = []
+def anchor_homologies(
+    ref: ESAIndex, threshold: int, seq: Sequence
+) -> list[Homology]:
+    segments: list[Homology] = []
 
-    border = ref.size // 2
-    q = seq.as_array()
-    query_length = len(seq)
+    strand_border = ref.size // 2
+    query = seq.as_array()
+    qlen = len(seq)
+    S, SA = ref.S, ref.SA
 
-    last_pos_Q = 0
-    last_pos_S = 0
-    last_length = 0
-    last_was_right_anchor = False
+    prev_q = prev_s = prev_len = 0  # last accepted seed
+    merged = False  # open segment absorbed a collinear seed
+    open_seg = Homology.at(0, 0)
 
-    this_pos_Q = 0
-    this_pos_S = 0
-    this_length = 0
+    def keep_open() -> None:
+        if merged or prev_len // 2 >= threshold:
+            open_seg.reverse_eh(strand_border)
+            segments.append(open_seg)
 
-    current = Homology.at(0, 0)
+    cursor = 0
+    while cursor < qlen:
+        probe_len = 0  # cursor stride comes from the last probe
+        hit_s = -1
 
-    S = ref.S
-    SA = ref.SA
+        # cheap probe: extend along the predicted diagonal
+        diag_s = prev_s + (cursor - prev_q)
+        if diag_s < ref.size and cursor - (prev_q + prev_len) <= threshold:
+            probe_len = lcp_bytes(query, cursor, S, diag_s, qlen - cursor)
+            if probe_len >= threshold:
+                hit_s = diag_s
+        if hit_s < 0:
+            # full probe: longest index match, accepted only when unique
+            length, lo, hi = ref.longest_match(query, cursor, qlen - cursor)
+            probe_len = max(length, 0)
+            if lo == hi and probe_len >= threshold:
+                hit_s = int(SA[lo])
 
-    def anchor() -> bool:
-        nonlocal this_pos_S, this_length
-        l, i, j = ref.longest_match(q, this_pos_Q, query_length - this_pos_Q)
-        this_length = max(l, 0)
-        this_pos_S = int(SA[i])
-        return i == j and this_length >= threshold
-
-    def lucky_anchor() -> bool:
-        nonlocal this_pos_S, this_length
-        advance = this_pos_Q - last_pos_Q
-        gap = this_pos_Q - last_pos_Q - last_length
-        try_pos_S = last_pos_S + advance
-
-        if try_pos_S >= ref.size or gap > threshold:
-            return False
-
-        this_pos_S = try_pos_S
-        this_length = lcp_bytes(
-            q, this_pos_Q, S, try_pos_S, query_length - this_pos_Q
-        )
-        return this_length >= threshold
-
-    while this_pos_Q < query_length:
-        if lucky_anchor() or anchor():
-            end_S = last_pos_S + last_length
-            end_Q = last_pos_Q + last_length
-            if (
-                this_pos_S > end_S
-                and this_pos_Q - end_Q == this_pos_S - end_S
-                and (this_pos_S < border) == (last_pos_S < border)
-            ):
-                # right anchor: extend across the gap
-                current.extend(this_pos_Q - end_Q + this_length)
-                last_was_right_anchor = True
+        if hit_s >= 0:
+            prev_end_s = prev_s + prev_len
+            prev_end_q = prev_q + prev_len
+            collinear = (
+                hit_s > prev_end_s
+                and cursor - prev_end_q == hit_s - prev_end_s
+                and (hit_s < strand_border) == (prev_s < strand_border)
+            )
+            if collinear:
+                open_seg.extend((cursor - prev_end_q) + probe_len)
+                merged = True
             else:
-                # left anchor: maybe push the previous homology, open new
-                if last_was_right_anchor or last_length // 2 >= threshold:
-                    current.reverse_eh(border)
-                    hv.append(current)
-                current = Homology.at(this_pos_S, this_pos_Q, this_length)
-                last_was_right_anchor = False
+                keep_open()
+                open_seg = Homology.at(hit_s, cursor, probe_len)
+                merged = False
+            prev_q, prev_s, prev_len = cursor, hit_s, probe_len
 
-            last_pos_Q = this_pos_Q
-            last_pos_S = this_pos_S
-            last_length = this_length
+        cursor += probe_len + 1
 
-        this_pos_Q += this_length + 1
+    # identical sequences: one seed covered the whole query
+    if prev_len >= qlen:
+        open_seg = Homology.at(prev_s, 0, qlen)
+    keep_open()
 
-    # Very special case: the sequences are identical
-    if last_length >= query_length:
-        current = Homology.at(last_pos_S, 0, query_length)
-
-    if last_was_right_anchor or last_length // 2 >= threshold:
-        current.reverse_eh(border)
-        hv.append(current)
-
-    return hv
+    return segments

@@ -254,6 +254,30 @@ def hybrid_map_queries(
 
     from phylonium_tpu.ops.anchor_extend import diagonal_neq, pad_text
 
+    # device offsets are int32: guard the index text and chunk the query
+    # batch so concatenated bases stay addressable (same bound the
+    # device pileup builder enforces via _MAX_GROUP_BASES)
+    max_i32 = (1 << 31) - 1 - _TILE
+    if ref.size > max_i32:
+        raise ValueError(
+            "hybrid map backend addresses the index with int32 offsets; "
+            f"reference of {ref.size} bases needs the native backend"
+        )
+    total = sum(len(q) for q in queries)
+    if total > max_i32:
+        out: list[list[Homology]] = []
+        group: list[np.ndarray] = []
+        group_bases = 0
+        for q in queries:
+            if group and group_bases + len(q) > max_i32:
+                out.extend(hybrid_map_queries(ref, threshold, group, chunk))
+                group, group_bases = [], 0
+            group.append(q)
+            group_bases += len(q)
+        if group:
+            out.extend(hybrid_map_queries(ref, threshold, group, chunk))
+        return out
+
     s_dev = jnp.asarray(pad_text(ref.S, "a", _TILE))
     lengths = [len(q) for q in queries]
     bases = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)

@@ -412,8 +412,17 @@ struct Index {
 };
 
 // ---------------------------------------------------------------------------
-// Anchor chaining (see phylonium_tpu/core/anchors.py for the commented
-// behavioral spec mirroring src/process.cxx:198-295).
+// Anchor chaining.
+//
+// Behavioral spec (bit-parity with the reference is enforced by
+// tests/test_oracle_parity.py and the Python oracle in core/anchors.py):
+// scan the query left to right; an acceptable seed is either a unique
+// index hit of at least `threshold` bases, or — cheaper — a plain text
+// extension on the diagonal predicted by the previous seed.  Consecutive
+// collinear seeds (same diagonal, same strand half of the doubled text)
+// merge into one homology segment; a diagonal jump closes the open
+// segment, which survives only if it was ever merge-extended or its
+// founding seed was at least twice the threshold.
 // ---------------------------------------------------------------------------
 
 struct Hom {
@@ -425,125 +434,129 @@ struct Hom {
 
     i64 start() const { return irp; }
     i64 end() const { return irp + len; }
-    bool ends_left_of_start(i64 other_start) const {
-        return end() <= other_start;
-    }
 };
 
-static void reverse_eh(Hom &h, i64 reference_length) {
+// Project a segment that lives in the reverse-complement half of the
+// doubled index text back onto forward reference coordinates.
+static void project_forward(Hom &h, i64 reference_length) {
     if (h.ir < reference_length) return;
     h.irp = 2 * reference_length + 1 - h.len - h.ir;
     h.direction = 1;
 }
 
+// A seed: query position, index-text position, match length.
+struct Seed {
+    i64 q = 0;
+    i64 s = 0;
+    i64 len = 0;
+};
+
 static std::vector<Hom> chain_anchors(const Index &idx, i64 threshold,
-                                      const u8 *q, i64 query_length) {
-    std::vector<Hom> hv;
-    const i64 border = idx.n / 2;
+                                      const u8 *query, i64 qlen) {
+    std::vector<Hom> segments;
+    const i64 strand_border = idx.n / 2;
 
-    i64 last_pos_Q = 0, last_pos_S = 0, last_length = 0;
-    bool last_was_right_anchor = false;
+    Seed prev;               // last accepted seed
+    bool merged = false;     // open segment absorbed a collinear seed
+    Hom open{0, 0, 0, 0, 0};  // segment under construction
 
-    i64 this_pos_Q = 0, this_pos_S = 0, this_length = 0;
-
-    Hom current{0, 0, 0, 0, 0};
-
-    auto anchor = [&]() -> bool {
-        i64 l, i, j;
-        idx.longest_match(q + this_pos_Q, query_length - this_pos_Q, &l, &i,
-                          &j);
-        this_length = std::max(l, (i64)0);
-        this_pos_S = idx.SA[i];
-        return i == j && this_length >= threshold;
-    };
-
-    auto lucky_anchor = [&]() -> bool {
-        i64 advance = this_pos_Q - last_pos_Q;
-        i64 gap = this_pos_Q - last_pos_Q - last_length;
-        i64 try_pos_S = last_pos_S + advance;
-
-        if (try_pos_S >= idx.n || gap > threshold) return false;
-
-        this_pos_S = try_pos_S;
-        this_length = idx.lcp(try_pos_S, q + this_pos_Q,
-                              query_length - this_pos_Q,
-                              query_length - this_pos_Q);
-        return this_length >= threshold;
-    };
-
-    while (this_pos_Q < query_length) {
-        if (lucky_anchor() || anchor()) {
-            i64 end_S = last_pos_S + last_length;
-            i64 end_Q = last_pos_Q + last_length;
-            if (this_pos_S > end_S && this_pos_Q - end_Q == this_pos_S - end_S &&
-                (this_pos_S < border) == (last_pos_S < border)) {
-                // right anchor
-                current.len += this_pos_Q - end_Q + this_length;
-                last_was_right_anchor = true;
-            } else {
-                if (last_was_right_anchor || last_length / 2 >= threshold) {
-                    reverse_eh(current, border);
-                    hv.push_back(current);
-                }
-                current = Hom{0, this_pos_S, this_pos_S, this_pos_Q,
-                              this_length};
-                last_was_right_anchor = false;
-            }
-            last_pos_Q = this_pos_Q;
-            last_pos_S = this_pos_S;
-            last_length = this_length;
+    auto keep_open = [&]() {
+        if (merged || prev.len / 2 >= threshold) {
+            project_forward(open, strand_border);
+            segments.push_back(open);
         }
-        this_pos_Q += this_length + 1;
+    };
+
+    i64 cursor = 0;
+    while (cursor < qlen) {
+        i64 probe_len = 0;  // cursor stride comes from the last probe
+        i64 hit_s = -1;
+
+        // cheap probe: extend along the diagonal the previous seed
+        // predicts, if the unseeded gap is small enough
+        i64 diag_s = prev.s + (cursor - prev.q);
+        bool diag_ok = diag_s < idx.n &&
+                       cursor - (prev.q + prev.len) <= threshold;
+        if (diag_ok) {
+            probe_len =
+                idx.lcp(diag_s, query + cursor, qlen - cursor, qlen - cursor);
+            if (probe_len >= threshold) hit_s = diag_s;
+        }
+        if (hit_s < 0) {
+            // full probe: longest index match, accepted only when unique
+            i64 l, lo, hi;
+            idx.longest_match(query + cursor, qlen - cursor, &l, &lo, &hi);
+            probe_len = std::max(l, (i64)0);
+            if (lo == hi && probe_len >= threshold) hit_s = idx.SA[lo];
+        }
+
+        if (hit_s >= 0) {
+            i64 prev_end_s = prev.s + prev.len;
+            i64 prev_end_q = prev.q + prev.len;
+            bool collinear =
+                hit_s > prev_end_s &&
+                cursor - prev_end_q == hit_s - prev_end_s &&
+                (hit_s < strand_border) == (prev.s < strand_border);
+            if (collinear) {
+                // same diagonal and strand: the open segment spans the
+                // gap plus the new seed
+                open.len += (cursor - prev_end_q) + probe_len;
+                merged = true;
+            } else {
+                keep_open();
+                open = Hom{0, hit_s, hit_s, cursor, probe_len};
+                merged = false;
+            }
+            prev = Seed{cursor, hit_s, probe_len};
+        }
+        cursor += probe_len + 1;
     }
 
-    if (last_length >= query_length) {
-        current = Hom{0, last_pos_S, last_pos_S, 0, query_length};
-    }
-    if (last_was_right_anchor || last_length / 2 >= threshold) {
-        reverse_eh(current, border);
-        hv.push_back(current);
-    }
+    // identical sequences: one seed covered the whole query
+    if (prev.len >= qlen) open = Hom{0, prev.s, prev.s, 0, qlen};
+    keep_open();
 
-    return hv;
+    return segments;
 }
 
-// max-chain overlap filter (spec: phylonium_tpu/core/filter.py, mirroring
-// src/process.cxx:354-401); pile must be sorted by start.
+// Maximum-weight chain of non-overlapping segments (weight = bases).
+// Classic weighted-interval DP over the start-sorted pile, O(n^2)
+// predecessor scan; on score ties the earliest candidate wins, and the
+// chain ending earliest wins overall (same tie-breaks the reference's
+// filter exhibits, which parity requires).
 static void filter_overlaps_max(std::vector<Hom> &pile) {
-    const i64 size = (i64)pile.size();
-    if (size < 2) return;
+    const i64 count = (i64)pile.size();
+    if (count < 2) return;
 
-    std::vector<i64> predecessor(size, -1);
-    std::vector<i64> score(size + 1, 0);  // score[k+1] belongs to k
-    score[1] = pile[0].len;
+    std::vector<i64> chain_total(count, 0);  // best chain ending at i
+    std::vector<i64> link(count, -1);        // previous chain member
 
-    for (i64 i = 1; i < size; i++) {
-        i64 max_value = 0, max_index = -1;
+    for (i64 i = 0; i < count; i++) {
+        i64 best_prev = 0;
         for (i64 k = 0; k < i; k++) {
-            if (!pile[k].ends_left_of_start(pile[i].start())) continue;
-            if (score[k + 1] > max_value) {
-                max_value = score[k + 1];
-                max_index = k;
+            if (pile[k].end() > pile[i].start()) continue;  // overlaps
+            if (chain_total[k] > best_prev) {
+                best_prev = chain_total[k];
+                link[i] = k;
             }
         }
-        predecessor[i] = max_index;
-        score[i + 1] = max_value + pile[i].len;
+        chain_total[i] = best_prev + pile[i].len;
     }
 
-    i64 best = 0;
-    for (i64 k = 1; k <= size; k++)
-        if (score[k] > score[best]) best = k;
-
-    std::vector<u8> visited(size, 0);
-    i64 index = best - 1;
-    while (index >= 0) {
-        visited[index] = 1;
-        index = predecessor[index];
+    i64 champion = -1, champion_total = 0;
+    for (i64 i = 0; i < count; i++) {
+        if (chain_total[i] > champion_total) {
+            champion_total = chain_total[i];
+            champion = i;
+        }
     }
+
+    std::vector<u8> in_chain(count, 0);
+    for (i64 i = champion; i >= 0; i = link[i]) in_chain[i] = 1;
 
     i64 w = 0;
-    for (i64 r = 0; r < size; r++)
-        if (visited[r]) pile[w++] = pile[r];
+    for (i64 r = 0; r < count; r++)
+        if (in_chain[r]) pile[w++] = pile[r];
     pile.resize(w);
 }
 

@@ -83,10 +83,15 @@ def intervals_from_homologies(
     out = np.full((n, hmax, 4), ref_len, dtype=np.int64)
     out[:, :, 3] = 0
     for g, hv in enumerate(homologies):
-        hv = sorted(hv, key=lambda h: h.start())
+        # drop zero-length entries BEFORE filling: a skipped slot mid-list
+        # would leave a fill row (start == end == ref_len) inside the
+        # delta chain, corrupting the telescoped B/dir fills of every
+        # later interval of this genome (host build_pileup skips them
+        # too, core/pileup.py)
+        hv = sorted(
+            (h for h in hv if h.length > 0), key=lambda h: h.start()
+        )
         for k, h in enumerate(hv):
-            if h.length <= 0:
-                continue
             start, end = h.start(), h.end()
             iq = bases[g] + h.index_query
             if h.direction == REVERSE:

@@ -129,3 +129,15 @@ def test_row_group_splitting(rng, make_genome, monkeypatch):
         queries.append(q)
         homologies.append([_hom(g % 2, 40 * g, 10, 300)])
     _compare(queries, homologies, 800)
+
+
+def test_zero_length_homology_mid_list(rng, make_genome):
+    """Regression: a zero-length homology BETWEEN two real ones must not
+    corrupt the telescoped B/dir fills of the later intervals."""
+    q = np.frombuffer(make_genome(rng, 1200), np.uint8)
+    hv = [
+        _hom(FORWARD, 10, 0, 200),
+        _hom(FORWARD, 400, 300, 0),  # dropped by the host builder too
+        _hom(REVERSE, 600, 500, 250),
+    ]
+    _compare([q], [hv], 1000)
