@@ -335,8 +335,21 @@ def main(argv: list[str] | None = None) -> int:
         counts = process(queries[reference_index], queries, cfg)
 
         if cfg.two_pass:
-            reference_index = pick_second_pass(counts)
-            counts = process(queries[reference_index], queries, cfg)
+            second_index = pick_second_pass(counts)
+            if second_index == reference_index:
+                # the central genome IS the pass-1 reference: the second
+                # pass would redo the identical (deterministic) run, so
+                # reuse it.  (A changed pick cannot reuse anything —
+                # homologies live in subject coordinates.)  The reference
+                # recomputes unconditionally (src/phylonium.cxx:289-292).
+                if cfg.verbose:
+                    print(
+                        f"ref: {queries[reference_index].name}",
+                        file=sys.stderr,
+                    )
+            else:
+                reference_index = second_index
+                counts = process(queries[reference_index], queries, cfg)
 
     names = [q.name for q in queries]
     lengths = np.array([len(q) for q in queries], dtype=np.int64)

@@ -244,6 +244,7 @@ def hybrid_map_queries(
     threshold: int,
     queries: list[np.ndarray],
     chunk: int = DEFAULT_CHUNK,
+    progress=None,
 ) -> list[list[Homology]]:
     """Map every query; device round trips batched across queries.
 
@@ -293,6 +294,8 @@ def hybrid_map_queries(
     active = list(range(nq))
     while active:
         blocked = [k for k in active if not machines[k].run()]
+        if progress is not None:
+            progress(nq - len(blocked))
         if not blocked:
             break
         # fixed-size batch (pad with repeats) so the jitted bitmap op

@@ -42,16 +42,21 @@ def map_queries(
     queries: list[Sequence],
     cfg: RunConfig,
 ) -> list[list[Homology]]:
-    """Anchor-map every query against the index ("Mapping" phase)."""
+    """Anchor-map every query against the index ("Mapping" phase).
+
+    Progress is live (per completed query) on every backend — the native
+    batch mapper exposes an atomic counter a poll thread watches while
+    the C++/OpenMP call runs (the reference updates in-loop the same
+    way, src/process.cxx:445-456).
+    """
+    from phylonium_tpu.utils.progress import ProgressBar
+
     n = len(queries)
     homologies: list[list[Homology]] = [None] * n  # type: ignore
 
-    show = cfg.progress_enabled
-    if show:
-        sys.stderr.write(
-            f"Mapping {n} sequences: {0.0:5.1f}% (0/{n})"
-        )
-        sys.stderr.flush()
+    bar = ProgressBar(
+        f"Mapping {n} sequences", n, enabled=cfg.progress_enabled
+    )
 
     # Checkpoint: reuse previously mapped queries (content-addressed).
     ckpt = None
@@ -74,6 +79,8 @@ def map_queries(
                 todo.append(j)
             else:
                 homologies[j] = cached
+    done_base = n - len(todo)
+    bar.update(done_base)
 
     map_backend = cfg.map_backend
     if map_backend == "auto":
@@ -84,41 +91,57 @@ def map_queries(
         from phylonium_tpu.core.hybrid_map import hybrid_map_queries
 
         raw = hybrid_map_queries(
-            ref, threshold, [queries[j].as_array() for j in todo]
+            ref,
+            threshold,
+            [queries[j].as_array() for j in todo],
+            progress=lambda d: bar.update(done_base + d),
         )
         for k, j in enumerate(todo):
             hv = raw[k]
             hv.sort(key=lambda h: h.start())
             homologies[j] = filter_overlaps_max(hv)
     elif map_backend == "native":
-        # Native backend maps entire batches in C++/OpenMP.
-        native_out = ref._native.map_queries(
-            [queries[j].as_array() for j in todo], threshold
-        )
+        # Native backend maps entire batches in C++/OpenMP; a poll
+        # thread relays its atomic per-query counter to the bar.
+        import threading
+
+        counter = np.zeros(1, dtype=np.int64)
+        stop = threading.Event()
+
+        def relay():
+            while not stop.wait(0.1):
+                bar.update(done_base + int(counter[0]))
+
+        poller = None
+        if bar.enabled:
+            poller = threading.Thread(
+                target=relay, daemon=True, name="map-progress"
+            )
+            poller.start()
+        try:
+            native_out = ref._native.map_queries(
+                [queries[j].as_array() for j in todo],
+                threshold,
+                progress_out=counter,
+            )
+        finally:
+            stop.set()
+        if poller is not None:
+            poller.join()
         for k, j in enumerate(todo):
             homologies[j] = native_out[k]
     else:
-        for j in todo:
+        for k, j in enumerate(todo):
             hv = anchor_homologies(ref, threshold, queries[j])
             hv.sort(key=lambda h: h.start())
             homologies[j] = filter_overlaps_max(hv)
+            bar.update(done_base + k + 1)
 
     if ckpt is not None:
         for j in todo:
             ckpt.save(keys[j], homologies[j])
 
-    for j in range(n):
-        if show:
-            progress = 100.0 * (j + 1) / n
-            sys.stderr.write(
-                f"\rMapping {n} sequences: {progress:5.1f}% ({j + 1}/{n})"
-            )
-            sys.stderr.flush()
-
-    if show:
-        sys.stderr.write(", done.\n")
-        sys.stderr.flush()
-
+    bar.finish()
     return homologies
 
 
@@ -150,7 +173,7 @@ def _mesh_device_count(cfg: RunConfig) -> int:
     return n if n > 1 else 0
 
 
-def _pair_counts_device(states: np.ndarray, cfg: RunConfig):
+def _pair_counts_device(states: np.ndarray, cfg: RunConfig, progress=None):
     """Single-device counting: fused Pallas kernel on TPU, XLA einsum
     elsewhere."""
     if _use_pallas(cfg):
@@ -160,7 +183,7 @@ def _pair_counts_device(states: np.ndarray, cfg: RunConfig):
         )
 
         if states.shape[0] > ROW_BLOCK_THRESHOLD:
-            return pair_counts_pallas_blocked(states)
+            return pair_counts_pallas_blocked(states, progress=progress)
         return pair_counts_pallas(states)
     from phylonium_tpu.ops.match_matrix import pair_counts_device
 
@@ -192,7 +215,7 @@ def _pair_counts_mesh(states: np.ndarray, cfg: RunConfig):
     return pair_counts_sharded(states, mesh)
 
 
-def _race_host(states, device_fn):
+def _race_host(states, device_fn, progress=None):
     """Run ``device_fn`` on a thread while counting on the host; return
     whichever finishes first (results are bit-identical by construction).
 
@@ -222,18 +245,20 @@ def _race_host(states, device_fn):
         target=device_work, daemon=True, name="compare-device"
     )
     t.start()
-    host_result = pair_counts_host(states, poll=done.is_set)
+    host_result = pair_counts_host(
+        states, poll=done.is_set, progress=progress
+    )
     if host_result is not None and "result" not in outcome:
         return host_result
     done.wait()
     if "result" in outcome:
         return outcome["result"]
     # device path failed and the host run was aborted: redo on host
-    return pair_counts_host(states)
+    return pair_counts_host(states, progress=progress)
 
 
 def pair_counts(
-    states: np.ndarray, cfg: RunConfig
+    states: np.ndarray, cfg: RunConfig, progress=None
 ) -> tuple[np.ndarray, np.ndarray]:
     """All-pairs (substitutions, homologs) — the production dispatch.
 
@@ -243,6 +268,9 @@ def pair_counts(
              the runtime exposes more than one device, or --mesh R,C)
     device   single-chip Pallas (TPU) or XLA einsum, raced against the
              host so a cold compile cache never blocks a run
+
+    ``progress`` (optional) receives a completed fraction in [0, 1];
+    paths with internal chunking report it live.
     """
     backend = cfg.count_backend
     if backend == "numpy":
@@ -252,14 +280,18 @@ def pair_counts(
     if backend == "host":
         from phylonium_tpu.ops.bitplane_host import pair_counts_host
 
-        return pair_counts_host(states)
+        return pair_counts_host(states, progress=progress)
 
     if _mesh_device_count(cfg) > 1:
         return _pair_counts_mesh(states, cfg)
 
     if backend == "auto" and _use_pallas(cfg):
-        return _race_host(states, lambda: _pair_counts_device(states, cfg))
-    return _pair_counts_device(states, cfg)
+        return _race_host(
+            states,
+            lambda: _pair_counts_device(states, cfg, progress),
+            progress,
+        )
+    return _pair_counts_device(states, cfg, progress)
 
 
 def prewarm_counts(n: int, ref_len: int, cfg: RunConfig):
@@ -364,24 +396,23 @@ def process(
             cfg.refpos_file_name, subject.nucl, states, homologies[0]
         )
 
-    show = cfg.progress_enabled
+    from phylonium_tpu.utils.progress import ProgressBar
+
     num_comparisons = (n * n - n) // 2
-    if show:
-        sys.stderr.write(
-            f"Comparing the sequences: {0.0:5.1f}% (0/{num_comparisons})"
-        )
-        sys.stderr.flush()
+    bar = ProgressBar(
+        "Comparing the sequences",
+        num_comparisons,
+        enabled=cfg.progress_enabled,
+    )
 
     t0 = time.time()
-    subs, homs = pair_counts(states, cfg)
+    subs, homs = pair_counts(
+        states,
+        cfg,
+        progress=lambda frac: bar.update(int(frac * num_comparisons)),
+    )
     timings["compare"] = time.time() - t0
-
-    if show:
-        sys.stderr.write(
-            f"\rComparing the sequences: {100.0:5.1f}% "
-            f"({num_comparisons}/{num_comparisons}), done.\n"
-        )
-        sys.stderr.flush()
+    bar.finish()
 
     if cfg.verbose >= 2:
         phases = "  ".join(f"{k}={v:.3f}s" for k, v in timings.items())

@@ -58,6 +58,7 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.POINTER(ctypes.c_int64),
         ]
         lib.phy_free.argtypes = [ctypes.c_void_p]
         lib.phy_build_sa.argtypes = [
@@ -226,8 +227,13 @@ class NativeESA:
         return out
 
     def map_queries(
-        self, queries: list[np.ndarray], threshold: int
+        self,
+        queries: list[np.ndarray],
+        threshold: int,
+        progress_out: np.ndarray | None = None,
     ) -> list[list[Homology]]:
+        """Batch-map ``queries``; ``progress_out`` (shape-[1] int64) is
+        incremented per completed query for live progress polling."""
         qdata = np.concatenate(
             [np.ascontiguousarray(q, dtype=np.uint8) for q in queries]
         ) if queries else np.zeros(0, dtype=np.uint8)
@@ -243,6 +249,7 @@ class NativeESA:
             threshold,
             _i64ptr(counts),
             ctypes.byref(buf),
+            _i64ptr(progress_out) if progress_out is not None else None,
         )
         out = _decode_homologies(buf, counts)
         self._lib.phy_free(buf)

@@ -619,8 +619,11 @@ i64 phy_map_query(void *h, const u8 *q, i64 qlen, i64 threshold, i64 **out) {
 // Batch mapping with OpenMP over queries.  Queries are concatenated in
 // `qdata` with offsets[j] .. offsets[j+1].  Returns a malloc'd buffer of
 // all homologies concatenated; counts[j] receives each query's count.
+// `progress` (nullable) is atomically incremented per completed query so
+// the caller can poll it for a live progress bar.
 i64 phy_map_queries(void *h, const u8 *qdata, const i64 *offsets, i64 nq,
-                    i64 threshold, i64 *counts, i64 **out) {
+                    i64 threshold, i64 *counts, i64 **out,
+                    i64 *progress) {
     const Index &idx = *static_cast<Index *>(h);
     std::vector<std::vector<Hom>> results(nq);
 
@@ -628,6 +631,10 @@ i64 phy_map_queries(void *h, const u8 *qdata, const i64 *offsets, i64 nq,
     for (i64 j = 0; j < nq; j++) {
         results[j] = map_one(idx, threshold, qdata + offsets[j],
                              offsets[j + 1] - offsets[j]);
+        if (progress) {
+#pragma omp atomic
+            (*progress)++;
+        }
     }
 
     i64 total = 0;

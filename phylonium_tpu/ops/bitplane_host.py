@@ -86,13 +86,15 @@ def _count_chunk(
 def pair_counts_host(
     states: np.ndarray,
     poll: Callable[[], bool] | None = None,
+    progress: Callable[[float], None] | None = None,
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """Host counting: native AVX2 kernel when available, else numpy
-    bitplanes.  Same contract as :func:`pair_counts_bitplanes`."""
+    bitplanes.  Same contract as :func:`pair_counts_bitplanes`;
+    ``progress`` receives the completed column fraction per chunk."""
     try:
         from phylonium_tpu.native import pair_counts_range
     except Exception:
-        return pair_counts_bitplanes(states, poll)
+        return pair_counts_bitplanes(states, poll, progress)
 
     states = np.ascontiguousarray(states, dtype=np.uint8)
     n, length = states.shape
@@ -103,15 +105,17 @@ def pair_counts_host(
     for start in range(0, max(length, 1), step):
         if poll is not None and poll():
             return None
-        pair_counts_range(
-            states, start, min(start + step, length), subs, homs
-        )
+        end = min(start + step, length)
+        pair_counts_range(states, start, end, subs, homs)
+        if progress is not None:
+            progress(end / max(length, 1))
     return subs, homs
 
 
 def pair_counts_bitplanes(
     states: np.ndarray,
     poll: Callable[[], bool] | None = None,
+    progress: Callable[[float], None] | None = None,
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """All-pairs (substitutions, homologs), exact int64, on the host.
 
@@ -127,6 +131,8 @@ def pair_counts_bitplanes(
         if poll is not None and poll():
             return None
         _count_chunk(states[:, start : start + step], matches, homs)
+        if progress is not None:
+            progress(min(start + step, length) / max(length, 1))
     matches += matches.T
     homs += homs.T
     subs = homs - matches

@@ -439,12 +439,14 @@ def pair_counts_pallas_blocked(
     row_block: int = 512,
     block: int | None = None,
     interpret: bool = False,
+    progress=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Row-blocked variant for very large N on a single chip.
 
     Tiles the output matrix into ``row_block x row_block`` panels and
     computes only the upper triangle with the rectangular kernel, keeping
     VMEM pressure independent of N.  Bit-identical to the flat path.
+    ``progress`` receives the dispatched panel fraction.
     """
     n, length = states.shape
     if n <= row_block:
@@ -487,10 +489,13 @@ def pair_counts_pallas_blocked(
     # latency, which dwarfs the 10s-of-ms kernel time per panel.
     # int32 device accumulation is exact: per-cell counts are bounded
     # by the genome length (< 2^31).
+    n_panels = n_blocks * (n_blocks + 1) // 2
     pending = {}
     for i in range(n_blocks):
         a, alo, ahi = padded_rows(i)
         for j in range(i, n_blocks):
+            if progress is not None:
+                progress(len(pending) / n_panels)
             b, blo, bhi = padded_rows(j)
             m_acc = None
             h_acc = None
