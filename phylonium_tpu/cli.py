@@ -351,6 +351,14 @@ def main(argv: list[str] | None = None) -> int:
                 reference_index = second_index
                 counts = process(queries[reference_index], queries, cfg)
 
+    # multi-host SPMD: every process computes the (identical, bit-exact)
+    # matrix; only the coordinator prints it
+    if cfg.count_backend not in ("numpy", "host"):
+        import jax
+
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            return cfg.return_code
+
     names = [q.name for q in queries]
     lengths = np.array([len(q) for q in queries], dtype=np.int64)
     print_matrix(cfg, names, lengths, counts, reference_index)

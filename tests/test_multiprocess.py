@@ -48,6 +48,120 @@ WORKER = textwrap.dedent(
 )
 
 
+CLI_WORKER = textwrap.dedent(
+    """
+    import io, os, sys, contextlib
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    coordinator, pid, tmp = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    jax.distributed.initialize(
+        coordinator_address=coordinator, num_processes=2, process_id=pid
+    )
+    assert jax.device_count() == 8 and jax.process_count() == 2
+
+    from phylonium_tpu.cli import main
+
+    files = sorted(
+        os.path.join(tmp, f) for f in os.listdir(tmp) if f.endswith(".fasta")
+    )
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        rc = main(files)
+    assert rc == 0
+    # the full pipeline ran in both processes; only proc 0 prints
+    sys.stdout.write(out.getvalue())
+    sys.stdout.write(f"<<proc {pid} done>>")
+    """
+)
+
+
+def _launch(script_text, tmp_path, extra_args=()):
+    with socket.socket() as sock:
+        sock.bind(("localhost", 0))
+        port = sock.getsockname()[1]
+    coordinator = f"localhost:{port}"
+
+    script = tmp_path / "worker.py"
+    script.write_text(script_text)
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("JAX_PLATFORMS", None)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), coordinator, str(pid), *extra_args],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-process workers timed out")
+        outs.append((p.returncode, out, err))
+    return outs
+
+
+def test_two_process_full_cli(tmp_path, rng):
+    """End-to-end CLI across 2 processes x 4 devices: mapping runs on
+    every host, counting shards over the global (2, 4) mesh, and the
+    coordinator's printed matrix is byte-identical to a single-process
+    run — the deployment shape promised in parallel/multihost.py."""
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    base = rng.choice(acgt, 12_000)
+    files = []
+    for k, p in enumerate([0.0, 0.01, 0.04, 0.07]):
+        arr = base.copy()
+        idx = np.flatnonzero(rng.random(arr.size) < p)
+        arr[idx] = acgt[(rng.integers(1, 4, idx.size) + arr[idx]) % 4]
+        path = tmp_path / f"g{k}.fasta"
+        path.write_bytes(b">g%d\n" % k + arr.tobytes() + b"\n")
+        files.append(str(path))
+
+    # single-process expectation through the scalar oracle backend
+    import contextlib
+    import io
+
+    from phylonium_tpu.cli import main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["--count-backend", "numpy", *files]) == 0
+    expected = buf.getvalue()
+
+    outs = _launch(CLI_WORKER, tmp_path, extra_args=(str(tmp_path),))
+    for pid, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"worker {pid} failed:\n{out}\n{err[-2000:]}"
+        assert f"<<proc {pid} done>>" in out
+    def clean(text, pid):
+        # the Gloo transport banner prints straight to fd 1 from C++
+        lines = [
+            ln
+            for ln in text.replace(f"<<proc {pid} done>>", "").splitlines(
+                keepends=True
+            )
+            if not ln.startswith("[Gloo]")
+        ]
+        return "".join(lines)
+
+    matrix0 = clean(outs[0][1], 0)
+    matrix1 = clean(outs[1][1], 1)
+    assert matrix0 == expected, (
+        f"multi-process stdout differs:\n{matrix0}\nvs\n{expected}"
+    )
+    assert matrix1 == ""  # non-coordinators stay silent
+
+
 def test_two_process_mesh(tmp_path):
     with socket.socket() as sock:
         sock.bind(("localhost", 0))
