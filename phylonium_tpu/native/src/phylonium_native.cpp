@@ -256,10 +256,18 @@ struct Index {
     std::vector<i64> SA;
     i64 n = 0;  // |S|
 
+    // int32 copy of the SA for the probe path: halves the random-access
+    // footprint of the search (the probes are memory-latency bound).
+    // Built whenever n fits; texts beyond 2^31 fall back to the i64 SA.
+    std::vector<int32_t> SA32;
+    i64 suf(i64 idx) const {
+        return SA32.empty() ? SA[idx] : (i64)SA32[idx];
+    }
+
     // k-mer bucket table: for each ACGT-only k-mer code, the SA range of
-    // suffixes starting with it.
+    // suffixes starting with it (int32 ranges, -1 = absent k-mer).
     static constexpr int KMER = 10;
-    std::vector<i64> bucket_lo;  // size 4^KMER + 1 (lo[c+1] == hi[c])
+    std::vector<int32_t> bucket_lo;  // [2*code] = lo, [2*code+1] = hi
     bool has_buckets = false;
 
     i64 code_of(const u8 *p, i64 avail) const {
@@ -299,20 +307,29 @@ struct Index {
         return m;
     }
 
+    // lcp of S[sp:] with q[qs:], starting from a known-equal prefix of
+    // `skip` bytes (bucket membership guarantees the first KMER bytes)
+    i64 lcp_from(i64 sp, const u8 *q, i64 qlen, i64 cap, i64 skip) const {
+        i64 m = std::min(cap, std::min(n - sp, qlen));
+        if (skip >= m) return m;
+        return skip + lcp(sp + skip, q + skip, qlen - skip, m - skip);
+    }
+
     // compare suffix SA[idx] against prefix q[0:plen]:
     // <0 suffix smaller, 0 suffix starts with prefix, >0 suffix bigger
-    int cmp_prefix(i64 idx, const u8 *q, i64 plen) const {
-        i64 p = SA[idx];
-        i64 l = lcp(p, q, plen, plen);
+    int cmp_prefix(i64 idx, const u8 *q, i64 plen, i64 skip = 0) const {
+        i64 p = suf(idx);
+        i64 l = lcp_from(p, q, plen, plen, skip);
         if (l == plen) return 0;
         if (p + l >= n) return -1;  // suffix exhausted -> smaller
         return (int)S[p + l] - (int)q[l];
     }
 
-    i64 lower_bound(const u8 *q, i64 plen, i64 lo, i64 hi) const {
+    i64 lower_bound(const u8 *q, i64 plen, i64 lo, i64 hi,
+                    i64 skip = 0) const {
         while (lo < hi) {
             i64 mid = lo + (hi - lo) / 2;
-            if (cmp_prefix(mid, q, plen) < 0)
+            if (cmp_prefix(mid, q, plen, skip) < 0)
                 lo = mid + 1;
             else
                 hi = mid;
@@ -332,27 +349,71 @@ struct Index {
     }
 
     void build_buckets() {
+        if (n >= (i64)INT32_MAX) return;  // probe path falls back to i64
+        SA32.assign(SA.begin(), SA.end());
+
         const i64 nb = (i64)1 << (2 * KMER);
-        bucket_lo.assign(nb + 1, 0);
         // walk the SA once: valid ACGT k-mer codes appear in non-decreasing
         // order along the SA (suffixes sharing a k-prefix are contiguous);
-        // record the first SA index of each code.
-        std::vector<i64> first(nb, -1);
-        std::vector<i64> last(nb, -1);
+        // record each code's [first, last] SA range.
+        bucket_lo.assign(2 * nb, -1);
         for (i64 i = 0; i < n; i++) {
             i64 c = code_of(S.data() + SA[i], n - SA[i]);
             if (c >= 0) {
-                if (first[c] < 0) first[c] = i;
-                last[c] = i;
+                if (bucket_lo[2 * c] < 0) bucket_lo[2 * c] = (int32_t)i;
+                bucket_lo[2 * c + 1] = (int32_t)(i + 1);
             }
         }
-        // store ranges; empty codes get lo == hi == 0 (flagged by first<0)
-        bucket_lo.assign(2 * nb, 0);
-        for (i64 c = 0; c < nb; c++) {
-            bucket_lo[2 * c] = first[c];
-            bucket_lo[2 * c + 1] = (first[c] < 0) ? -1 : last[c] + 1;
-        }
         has_buckets = true;
+    }
+
+    // Lean probe for the chaining loop: the chain only needs the match
+    // length, the match's text position, and whether the match is
+    // unique in the index — not the full SA range longest_match
+    // reports.  One binary search (with the bucket's known 10-byte
+    // prefix skipped in every compare) finds q's insertion point; the
+    // longest prefix is attained at one of its two neighbors, and
+    // uniqueness needs at most one more capped lcp against the winning
+    // neighbor's other side.  Saves two full range searches per probe.
+    struct Probe {
+        i64 len;
+        i64 pos;
+        bool unique;
+    };
+
+    // `min_len`: matches shorter than this are rejected by the caller,
+    // so their uniqueness is not computed (the flag is then meaningless).
+    Probe probe_unique(const u8 *q, i64 qlen, i64 min_len = 0) const {
+        if (qlen <= 0 || n == 0) return {0, 0, n == 1};
+
+        i64 lo = 0, hi = n, skip = 0;
+        if (has_buckets) {
+            i64 c = code_of(q, qlen);
+            if (c >= 0) {
+                i64 blo = bucket_lo[2 * c];
+                if (blo >= 0) {
+                    lo = blo;
+                    hi = bucket_lo[2 * c + 1];
+                    skip = KMER;
+                }
+            }
+        }
+
+        i64 at = lower_bound(q, qlen, lo, hi, skip);
+        i64 left = (at > 0) ? lcp(suf(at - 1), q, qlen, qlen) : 0;
+        i64 right = (at < n) ? lcp(suf(at), q, qlen, qlen) : 0;
+        i64 len = std::max(left, right);
+        if (len == 0) return {0, 0, n == 1};
+        if (len < min_len) return {len, 0, false};  // rejected anyway
+        if (left == right) return {len, suf(at), false};  // >= 2 carriers
+
+        i64 w = (right == len) ? at : at - 1;
+        i64 flank = (w == at) ? at + 1 : at - 2;
+        bool unique = true;
+        if (flank >= 0 && flank < n) {
+            unique = lcp(suf(flank), q, qlen, len) < len;
+        }
+        return {len, suf(w), unique};
     }
 
     // longest_match: (l, i, j)
@@ -484,10 +545,10 @@ static std::vector<Hom> chain_anchors(const Index &idx, i64 threshold,
         }
         if (hit_s < 0) {
             // full probe: longest index match, accepted only when unique
-            i64 l, lo, hi;
-            idx.longest_match(query + cursor, qlen - cursor, &l, &lo, &hi);
-            probe_len = std::max(l, (i64)0);
-            if (lo == hi && probe_len >= threshold) hit_s = idx.SA[lo];
+            auto pr =
+                idx.probe_unique(query + cursor, qlen - cursor, threshold);
+            probe_len = pr.len;
+            if (pr.unique && probe_len >= threshold) hit_s = pr.pos;
         }
 
         if (hit_s >= 0) {
