@@ -1,0 +1,87 @@
+"""Regenerate the shipped compiled-executable store.
+
+Compiles the counting kernels at every standard panel shape bucket into
+phylonium_tpu/data/compile_cache/ (the "fatbin" store seeded into the
+local cache by utils/cache.enable_compile_cache).  Run on the target TPU
+generation after ANY change to ops/pallas_match.py or a jax upgrade —
+stale entries are harmless (they just miss) but waste repo bytes.
+
+    python tools/seed_compile_cache.py          # kernels only (~1 min)
+    python tools/seed_compile_cache.py --bench  # + bench's chained/extend
+                                                #   programs (runs bench)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+STORE = os.path.join(REPO, "phylonium_tpu", "data", "compile_cache")
+
+os.environ["PHYLONIUM_TPU_CACHE_DIR"] = STORE
+sys.path.insert(0, REPO)
+
+
+def seed_kernels() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from phylonium_tpu.ops.pallas_match import (
+        _PACKED_PAD,
+        _pallas_counts,
+        blocked_call_shape,
+        cross_counts_pallas,
+        packed_call_shape,
+    )
+    from phylonium_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+    assert jax.devices()[0].platform == "tpu", "seed on the real TPU"
+
+    seen: set[tuple] = set()
+    # flat packed kernel: row tiers x genome-length tiers (values are
+    # bucketed, so each (n_pad, block, cols) triple compiles once)
+    for n in (29, 64, 116, 256, 512):
+        for length in (500_000, 1_000_000, 2_000_000, 5_000_000):
+            n_pad, block, cols = packed_call_shape(n, length)
+            key = ("flat", n_pad, block, cols)
+            if key in seen:
+                continue
+            seen.add(key)
+            dummy = jnp.full((n_pad, cols), _PACKED_PAD, jnp.uint8)
+            jax.block_until_ready(_pallas_counts(dummy, block, packed=True))
+            print(f"flat   n_pad={n_pad:4d} block={block:5d} cols={cols}")
+    # blocked path's rectangular panel kernel (N > 512 genomes)
+    for length in (500_000, 1_000_000, 2_000_000, 5_000_000):
+        rb_pad, block, cols = blocked_call_shape(1000, length)
+        key = ("cross", rb_pad, block, cols)
+        if key in seen:
+            continue
+        seen.add(key)
+        dummy = jnp.full((rb_pad, cols), _PACKED_PAD, jnp.uint8)
+        jax.block_until_ready(
+            cross_counts_pallas(dummy, dummy, block, packed=True)
+        )
+        print(f"cross  rb_pad={rb_pad:4d} block={block:5d} cols={cols}")
+
+
+def main() -> None:
+    os.makedirs(STORE, exist_ok=True)
+    seed_kernels()
+    if "--bench" in sys.argv:
+        # bench's chained steady-state + anchor-extend programs compile
+        # under the same cache dir
+        os.environ["PHYLONIUM_TPU_BENCH_E2E"] = "0"
+        sys.argv = [sys.argv[0]]
+        import bench
+
+        bench.main()
+    total = sum(
+        os.path.getsize(os.path.join(STORE, f)) for f in os.listdir(STORE)
+    )
+    print(f"store: {len(os.listdir(STORE))} entries, {total / 1e6:.1f} MB")
+
+
+if __name__ == "__main__":
+    main()
