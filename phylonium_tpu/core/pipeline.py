@@ -79,6 +79,16 @@ def map_queries(
                 todo.append(j)
             else:
                 homologies[j] = cached
+    # multi-host: map only this process's queries (round-robin split of
+    # the reference's data-parallel-over-queries axis), exchange after
+    nproc, pid = 1, 0
+    if "jax" in sys.modules:
+        import jax
+
+        nproc, pid = jax.process_count(), jax.process_index()
+    if nproc > 1:
+        todo = [j for j in todo if j % nproc == pid]
+
     done_base = n - len(todo)
     bar.update(done_base)
 
@@ -140,6 +150,18 @@ def map_queries(
     if ckpt is not None:
         for j in todo:
             ckpt.save(keys[j], homologies[j])
+
+    if nproc > 1:
+        from phylonium_tpu.parallel.map_shard import exchange_homologies
+
+        owned = [j for j in range(n) if j % nproc == pid]
+        homologies = exchange_homologies(homologies, owned)
+        if cfg.verbose >= 2:
+            print(
+                f"mapping sharded: process {pid}/{nproc} mapped "
+                f"{len(todo)} of {n} queries locally",
+                file=sys.stderr,
+            )
 
     bar.finish()
     return homologies

@@ -68,7 +68,7 @@ CLI_WORKER = textwrap.dedent(
     )
     out = io.StringIO()
     with contextlib.redirect_stdout(out):
-        rc = main(files)
+        rc = main(["-v", "-v", *files])
     assert rc == 0
     # the full pipeline ran in both processes; only proc 0 prints
     sys.stdout.write(out.getvalue())
@@ -143,6 +143,10 @@ def test_two_process_full_cli(tmp_path, rng):
     for pid, (rc, out, err) in enumerate(outs):
         assert rc == 0, f"worker {pid} failed:\n{out}\n{err[-2000:]}"
         assert f"<<proc {pid} done>>" in out
+        # each host mapped only its own half of the queries
+        assert f"process {pid}/2 mapped 2 of 4 queries locally" in err, err[
+            -2000:
+        ]
     def clean(text, pid):
         # the Gloo transport banner prints straight to fd 1 from C++
         lines = [
