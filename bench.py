@@ -247,10 +247,16 @@ def main():
 
     use_pallas = jax.devices()[0].platform == "tpu"
 
-    # First compare through the PRODUCTION dispatch (packed Pallas raced
-    # against the host backend, exactly what the CLI runs): from a cold
-    # compile cache the host side returns in seconds while the kernel
-    # compiles in the background; warm, the device wins immediately.
+    # First compare through the PRODUCTION dispatch, exactly what the
+    # CLI runs: small panels count on the host AVX2 path outright (the
+    # device's fixed costs exceed its savings below the work threshold);
+    # large panels race the packed Pallas kernel against the host, so a
+    # cold compile cache never blocks either way.
+    from phylonium_tpu.core.pipeline import _auto_prefers_host
+
+    compare_dispatch = (
+        "host" if _auto_prefers_host(n, length, cfg) else "device"
+    )
     prewarm_counts(n, length, cfg)
     t0 = time.time()
     subs, homs = pair_counts(states, cfg)
@@ -384,6 +390,7 @@ def main():
         "t_backend_init": round(t_backend_init, 3),
         "t_transfer": round(t_transfer, 4),
         "t_compare_first_incl_conv": round(t_compare_first, 4),
+        "compare_dispatch": compare_dispatch,
         "t_compare_device": round(t_compare, 4),
         "kernel": "pallas" if use_pallas else "xla",
         "compare_gbp_per_s": round(gbp / t_compare, 2),

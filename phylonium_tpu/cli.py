@@ -249,27 +249,6 @@ def main(argv: list[str] | None = None) -> int:
 
         jax.config.update("jax_platforms", platform)
 
-    from phylonium_tpu.utils.cache import enable_compile_cache
-
-    enable_compile_cache()
-
-    # start the device backend handshake now (tunnelled TPU init can
-    # take seconds); it proceeds while we read and index on the host
-    if cfg.count_backend not in ("numpy", "host"):
-        import threading
-
-        def _init_backend():
-            try:
-                import jax
-
-                jax.devices()
-            except Exception:
-                pass
-
-        threading.Thread(
-            target=_init_backend, daemon=True, name="backend-init"
-        ).start()
-
     if cfg.print_positions:
         import os
 
@@ -322,6 +301,33 @@ def main(argv: list[str] | None = None) -> int:
         reference_index = file_names.index(cfg.reference_name)
     else:
         reference_index = pick_first_pass(queries, verbose=bool(cfg.verbose))
+
+    # device-bound runs: start the backend handshake now (tunnelled TPU
+    # init can take seconds) so it overlaps the host index/map phases.
+    # Panels the work-based dispatch keeps on the host never touch the
+    # device runtime at all (core/pipeline._auto_prefers_host).
+    from phylonium_tpu.core.pipeline import _auto_prefers_host
+
+    if cfg.count_backend not in ("numpy", "host") and not _auto_prefers_host(
+        len(queries), len(queries[reference_index]), cfg
+    ):
+        import threading
+
+        from phylonium_tpu.utils.cache import enable_compile_cache
+
+        enable_compile_cache()
+
+        def _init_backend():
+            try:
+                import jax
+
+                jax.devices()
+            except Exception:
+                pass
+
+        threading.Thread(
+            target=_init_backend, daemon=True, name="backend-init"
+        ).start()
 
     import contextlib
 

@@ -33,6 +33,19 @@ class RunConfig:
     count_backend: str = "auto"
     map_backend: str = "auto"  # 'auto' | 'native' | 'python' | 'hybrid'
     mesh: str = ""  # 'R,C' device mesh for counting ('' = all devices)
+    # 'auto' counting sends panels with at least this much pair work
+    # (pairs x columns, in Gbp) to the device; below it the host AVX2
+    # path wins outright because the device path's fixed costs (backend
+    # handshake, kernel trace/lowering, transfer) exceed the seconds the
+    # kernel saves — measured on a 1-core host, see ARCHITECTURE.md.
+    # Tune per deployment: PHYLONIUM_TPU_AUTO_DEVICE_GBP.
+    auto_device_min_gbp: float = field(
+        default_factory=lambda: float(
+            __import__("os").environ.get(
+                "PHYLONIUM_TPU_AUTO_DEVICE_GBP", "48"
+            )
+        )
+    )
     checkpoint_dir: str = ""  # reuse/persist mapping results here
     profile_dir: str = ""  # write a jax.profiler trace here
     return_code: int = 0

@@ -82,10 +82,14 @@ def map_queries(
     # multi-host: map only this process's queries (round-robin split of
     # the reference's data-parallel-over-queries axis), exchange after
     nproc, pid = 1, 0
-    if "jax" in sys.modules:
-        import jax
+    try:
+        from jax._src import distributed
 
-        nproc, pid = jax.process_count(), jax.process_index()
+        if (distributed.global_state.num_processes or 1) > 1:
+            nproc = distributed.global_state.num_processes
+            pid = distributed.global_state.process_id
+    except Exception:
+        pass
     if nproc > 1:
         todo = [j for j in todo if j % nproc == pid]
 
@@ -170,6 +174,28 @@ def map_queries(
 # above this many genomes the Pallas path tiles the output matrix into
 # row-block panels (VMEM pressure independent of N)
 ROW_BLOCK_THRESHOLD = 512
+
+
+def _auto_prefers_host(n: int, ref_len: int, cfg: RunConfig) -> bool:
+    """Small-panel fast path: with 'auto' counting, panels below the
+    work threshold never touch the device runtime at all (no backend
+    handshake, no kernel trace, no transfer — each of which costs
+    seconds and, on few-core hosts, steals CPU from the mapping phase).
+    Explicit backends, --mesh, and multi-process runs always take their
+    requested path."""
+    if cfg.count_backend != "auto" or cfg.mesh:
+        return False
+    try:
+        # read the distributed runtime state WITHOUT jax.process_count()
+        # (which may start the backend — the very cost being avoided)
+        from jax._src import distributed
+
+        if (distributed.global_state.num_processes or 1) > 1:
+            return False
+    except Exception:
+        pass
+    work_gbp = n * (n - 1) / 2 * ref_len / 1e9
+    return work_gbp < cfg.auto_device_min_gbp
 
 
 def _use_pallas(cfg: RunConfig) -> bool:
@@ -299,7 +325,9 @@ def pair_counts(
         from phylonium_tpu.ops.match_table import pair_counts_numpy
 
         return pair_counts_numpy(states)
-    if backend == "host":
+    if backend == "host" or _auto_prefers_host(
+        states.shape[0], states.shape[1], cfg
+    ):
         from phylonium_tpu.ops.bitplane_host import pair_counts_host
 
         return pair_counts_host(states, progress=progress)
@@ -330,6 +358,8 @@ def prewarm_counts(n: int, ref_len: int, cfg: RunConfig):
 
     if cfg.count_backend not in ("auto", "pallas"):
         return None
+    if _auto_prefers_host(n, ref_len, cfg):
+        return None  # panel stays on the host; don't spin up the device
 
     def work():
         try:

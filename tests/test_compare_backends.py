@@ -130,3 +130,17 @@ def test_cli_mesh_flag_byte_identical(tmp_path, rng):
     single = run("--mesh", "1,1")
     oracle = run("--count-backend", "numpy")
     assert meshed == single == oracle
+
+
+def test_auto_dispatch_thresholds():
+    from phylonium_tpu.core.pipeline import _auto_prefers_host
+
+    small = RunConfig()  # 29 x 5 Mbp = 2 Gbp of pair work
+    assert _auto_prefers_host(29, 5_000_000, small)
+    assert not _auto_prefers_host(1000, 1_000_000, small)  # 500 Gbp
+    assert not _auto_prefers_host(29, 5_000_000, RunConfig(mesh="2,4"))
+    assert not _auto_prefers_host(
+        29, 5_000_000, RunConfig(count_backend="pallas")
+    )
+    tuned = RunConfig(auto_device_min_gbp=1.0)
+    assert not _auto_prefers_host(29, 5_000_000, tuned)
