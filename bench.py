@@ -353,8 +353,8 @@ def main():
     e2e = {}
     if os.environ.get("PHYLONIUM_TPU_BENCH_E2E", "1") != "0":
         # host CPU and tunnel swing ~10x between runs on this
-        # environment; min-of-2 sheds a single degraded phase
-        runs = [end_to_end_vs_reference(genomes) for _ in range(2)]
+        # environment; min-of-3 sheds degraded phases
+        runs = [end_to_end_vs_reference(genomes) for _ in range(3)]
         runs = [r for r in runs if r]
         if runs:
             e2e = min(runs, key=lambda r: r["e2e_tpu_s"])

@@ -41,6 +41,13 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.phy_probe_unique.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.phy_map_query.restype = ctypes.c_int64
         lib.phy_map_query.argtypes = [
             ctypes.c_void_p,
@@ -214,6 +221,17 @@ class NativeESA:
             self._handle, _u8ptr(sub), sub.size, _i64ptr(out)
         )
         return int(out[0]), int(out[1]), int(out[2])
+
+    def probe_unique(
+        self, q: np.ndarray, min_len: int = 0
+    ) -> tuple[int, int, bool]:
+        """(len, text_pos, unique) — the chain loop's lean probe."""
+        out = np.empty(3, dtype=np.int64)
+        sub = np.ascontiguousarray(q, dtype=np.uint8)
+        self._lib.phy_probe_unique(
+            self._handle, _u8ptr(sub), sub.size, min_len, _i64ptr(out)
+        )
+        return int(out[0]), int(out[1]), bool(out[2])
 
     def map_query(self, q: np.ndarray, threshold: int) -> list[Homology]:
         q = np.ascontiguousarray(q, dtype=np.uint8)

@@ -661,6 +661,16 @@ void phy_longest_match(void *h, const u8 *q, i64 qlen, i64 *out_lij) {
                                            out_lij + 2);
 }
 
+// Lean probe used by the chaining loop; exposed so tests can assert its
+// (len, pos, unique) agrees with longest_match's full-range answer.
+void phy_probe_unique(void *h, const u8 *q, i64 qlen, i64 min_len,
+                      i64 *out_lpu) {
+    auto pr = static_cast<Index *>(h)->probe_unique(q, qlen, min_len);
+    out_lpu[0] = pr.len;
+    out_lpu[1] = pr.pos;
+    out_lpu[2] = pr.unique ? 1 : 0;
+}
+
 // Map one query; returns number of homologies.  *out receives a malloc'd
 // [n, 5] int64 array (direction, ir, irp, iq, len); free with phy_free.
 i64 phy_map_query(void *h, const u8 *q, i64 qlen, i64 threshold, i64 **out) {
