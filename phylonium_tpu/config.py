@@ -37,12 +37,15 @@ class RunConfig:
     # (pairs x columns, in Gbp) to the device; below it the host AVX2
     # path wins outright because the device path's fixed costs (backend
     # handshake, kernel trace/lowering, transfer) exceed the seconds the
-    # kernel saves — measured on a 1-core host, see ARCHITECTURE.md.
-    # Tune per deployment: PHYLONIUM_TPU_AUTO_DEVICE_GBP.
+    # kernel saves.  Default calibrated on this deployment's 1-core
+    # tunnelled host: 600x0.5 Mbp (90 Gbp) measured faster on host
+    # (27.1 s vs 33.6 s), 1000x1 Mbp (500 Gbp) a wash — see
+    # ARCHITECTURE.md.  Tune per deployment:
+    # PHYLONIUM_TPU_AUTO_DEVICE_GBP.
     auto_device_min_gbp: float = field(
         default_factory=lambda: float(
             __import__("os").environ.get(
-                "PHYLONIUM_TPU_AUTO_DEVICE_GBP", "48"
+                "PHYLONIUM_TPU_AUTO_DEVICE_GBP", "128"
             )
         )
     )
