@@ -87,6 +87,14 @@ def get_lib() -> ctypes.CDLL:
         ]
         lib.phy_set_threads.argtypes = [ctypes.c_int]
         lib.phy_num_procs.restype = ctypes.c_int
+        lib.phy_pack_states.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         lib.phy_pair_counts.argtypes = [
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int64,
@@ -144,6 +152,21 @@ def revseqcmp(a: np.ndarray, b: np.ndarray) -> int:
     a = np.ascontiguousarray(a, dtype=np.uint8)
     b = np.ascontiguousarray(b, dtype=np.uint8)
     return int(lib.phy_revseqcmp(_u8ptr(a), _u8ptr(b), a.size))
+
+
+def pack_states_native(
+    states: np.ndarray, n_pad: int, width: int
+) -> np.ndarray:
+    """Split-layout nibble packing in one native pass (see
+    ops/pallas_match.pack_states for the layout contract)."""
+    lib = get_lib()
+    states = np.ascontiguousarray(states, dtype=np.uint8)
+    n, length = states.shape
+    out = np.empty((n_pad, width), dtype=np.uint8)
+    lib.phy_pack_states(
+        _u8ptr(states), n, length, n_pad, width, _u8ptr(out)
+    )
+    return out
 
 
 def pair_counts_range(

@@ -846,6 +846,33 @@ static void count_pair_avx2(const u8 *a, const u8 *b, i64 len, i64 *matches,
 }  // namespace
 #endif  // __AVX2__
 
+// Split-layout nibble packing of the pileup (the host side of the packed
+// device path, see ops/pallas_match.pack_states): byte [g, j] =
+// state[g, j] | state[g, j + ceil(L/2)] << 4, INVALID-padded.  One pass,
+// OpenMP over rows; replaces a multi-temporary numpy formulation that
+// cost seconds at 1000-genome scale.
+void phy_pack_states(const u8 *__restrict__ states, i64 n, i64 length,
+                     i64 n_pad, i64 width, u8 *__restrict__ out) {
+    const u8 pad_byte = PILE_INVALID | (PILE_INVALID << 4);
+    const i64 l2 = (length + 1) / 2;
+#pragma omp parallel for schedule(static)
+    for (i64 g = 0; g < n_pad; g++) {
+        u8 *row = out + g * width;
+        if (g >= n) {
+            std::memset(row, pad_byte, (size_t)width);
+            continue;
+        }
+        const u8 *__restrict__ src = states + g * length;
+        const u8 *__restrict__ src_hi = states + g * length + l2;
+        const i64 hi_len = length - l2;  // second half may be shorter
+        i64 k = 0;
+        for (; k < hi_len; k++) row[k] = src[k] | (u8)(src_hi[k] << 4);
+        for (; k < l2; k++) row[k] = src[k] | (u8)(PILE_INVALID << 4);
+        if (width > l2)
+            std::memset(row + l2, pad_byte, (size_t)(width - l2));
+    }
+}
+
 // All-pairs (substitutions, homologs) over pileup columns [col_lo, col_hi).
 // `states` is the row-major [n, stride] uint8 matrix; counts ACCUMULATE
 // into subs/homs (callers zero them first and may chunk the column range

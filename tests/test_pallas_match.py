@@ -63,3 +63,28 @@ def test_row_blocked_equals_flat():
     )
     assert np.array_equal(s0, s1)
     assert np.array_equal(h0, h1)
+
+
+def test_pack_states_native_matches_numpy(rng):
+    """The one-pass native packer must be byte-identical to the numpy
+    formulation for every shape/padding combination."""
+    import phylonium_tpu.ops.pallas_match as pm
+
+    for n, length, n_pad, width in [
+        (1, 1, 32, 128),
+        (3, 7, 8, 4),
+        (5, 101, 5, 51),
+        (4, 100, 6, 64),
+        (2, 0, 4, 8),
+    ]:
+        states = rng.integers(0, 11, size=(n, length), dtype=np.uint8)
+        native = pm.pack_states(states, n_pad, width)
+        # force the numpy fallback
+        import unittest.mock as mock
+
+        with mock.patch(
+            "phylonium_tpu.native.pack_states_native",
+            side_effect=RuntimeError,
+        ):
+            fallback = pm.pack_states(states, n_pad, width)
+        np.testing.assert_array_equal(native, fallback, err_msg=str((n, length)))
