@@ -84,8 +84,24 @@ def build_pileup(
     homologies: list[list[Homology]],
     ref_len: int,
 ) -> np.ndarray:
-    """[N, ref_len] uint8 state matrix."""
+    """[N, ref_len] uint8 state matrix.
+
+    One native pass when available (per-homology numpy slice
+    assignments cost ~6 s at 1000 x 1 Mbp; the C++ fill is ~1 s and
+    OpenMP-parallel over genomes); the per-row numpy builder below is
+    the behavioral oracle (tests assert bit-equality).
+    """
     n = len(queries)
+    try:
+        from phylonium_tpu.native import build_pileup_native
+
+        return build_pileup_native(queries, homologies, ref_len)
+    except ImportError:
+        pass
+    except ValueError:
+        raise
+    except Exception:
+        pass
     states = np.empty((n, ref_len), dtype=np.uint8)
     for g in range(n):
         states[g] = build_pileup_row(queries[g], homologies[g], ref_len)

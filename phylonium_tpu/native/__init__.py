@@ -87,6 +87,17 @@ def get_lib() -> ctypes.CDLL:
         ]
         lib.phy_set_threads.argtypes = [ctypes.c_int]
         lib.phy_num_procs.restype = ctypes.c_int
+        lib.phy_build_pileup.restype = ctypes.c_int
+        lib.phy_build_pileup.argtypes = [
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.phy_pack_states.argtypes = [
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int64,
@@ -154,15 +165,64 @@ def revseqcmp(a: np.ndarray, b: np.ndarray) -> int:
     return int(lib.phy_revseqcmp(_u8ptr(a), _u8ptr(b), a.size))
 
 
+def build_pileup_native(
+    queries: list[np.ndarray],
+    homologies: list,
+    ref_len: int,
+) -> np.ndarray:
+    """Fill the [N, ref_len] state matrix in one native pass (OpenMP
+    over genomes); layout contract in core/pileup.py."""
+    lib = get_lib()
+    n = len(queries)
+    queries = [np.ascontiguousarray(q, dtype=np.uint8) for q in queries]
+    qptrs = (ctypes.POINTER(ctypes.c_uint8) * max(n, 1))(
+        *[_u8ptr(q) for q in queries]
+    )
+    qlens = np.array([q.size for q in queries], dtype=np.int64).reshape(n)
+    counts = np.array([len(hv) for hv in homologies], dtype=np.int64)
+    recs = np.zeros((int(counts.sum()), 4), dtype=np.int64)
+    w = 0
+    for hv in homologies:
+        for h in hv:
+            recs[w] = (
+                h.direction,
+                h.index_query,
+                h.index_reference_projected,
+                h.length,
+            )
+            w += 1
+    from phylonium_tpu.utils.bigalloc import empty as big_empty
+
+    out = big_empty((n, ref_len), np.uint8)
+    bad = np.zeros(1, dtype=np.int64)
+    rc = lib.phy_build_pileup(
+        qptrs,
+        _i64ptr(qlens),
+        _i64ptr(recs),
+        _i64ptr(counts),
+        n,
+        ref_len,
+        _u8ptr(out),
+        _i64ptr(bad),
+    )
+    if rc:
+        raise ValueError(
+            f"unexpected byte {bytes([int(bad[0])])!r} in filtered sequence"
+        )
+    return out
+
+
 def pack_states_native(
     states: np.ndarray, n_pad: int, width: int
 ) -> np.ndarray:
     """Split-layout nibble packing in one native pass (see
     ops/pallas_match.pack_states for the layout contract)."""
     lib = get_lib()
+    from phylonium_tpu.utils.bigalloc import empty as big_empty
+
     states = np.ascontiguousarray(states, dtype=np.uint8)
     n, length = states.shape
-    out = np.empty((n_pad, width), dtype=np.uint8)
+    out = big_empty((n_pad, width), np.uint8)
     lib.phy_pack_states(
         _u8ptr(states), n, length, n_pad, width, _u8ptr(out)
     )
@@ -275,11 +335,13 @@ class NativeESA:
     ) -> list[list[Homology]]:
         """Batch-map ``queries``; ``progress_out`` (shape-[1] int64) is
         incremented per completed query for live progress polling."""
-        qdata = np.concatenate(
-            [np.ascontiguousarray(q, dtype=np.uint8) for q in queries]
-        ) if queries else np.zeros(0, dtype=np.uint8)
+        from phylonium_tpu.utils.bigalloc import empty as big_empty
+
         offsets = np.zeros(len(queries) + 1, dtype=np.int64)
         np.cumsum([q.size for q in queries], out=offsets[1:])
+        qdata = big_empty((int(offsets[-1]),), np.uint8)
+        for q, lo, hi in zip(queries, offsets, offsets[1:]):
+            qdata[lo:hi] = np.ascontiguousarray(q, dtype=np.uint8)
         counts = np.zeros(len(queries), dtype=np.int64)
         buf = ctypes.POINTER(ctypes.c_int64)()
         self._lib.phy_map_queries(

@@ -873,6 +873,67 @@ void phy_pack_states(const u8 *__restrict__ states, i64 n, i64 length,
     }
 }
 
+// Reference-projected pileup construction (the host side of
+// core/pileup.py): fill each genome's row of per-reference-column
+// states from its homology records.  Records are (direction, iq, start,
+// len) int64 quads, concatenated across genomes with hom_counts[g]
+// records each; queries are concatenated in qdata with qoffsets.
+// Returns 0, or 1 + sets *bad_byte when a query byte is outside the
+// filtered alphabet (caller raises).
+int phy_build_pileup(const u8 *const *qptrs, const i64 *qlens,
+                     const i64 *homs, const i64 *hom_counts, i64 n,
+                     i64 ref_len, u8 *out, i64 *bad_byte) {
+    int8_t code_of[256];
+    std::memset(code_of, -1, sizeof(code_of));
+    const char *bases = "ACGT!";
+    for (int c = 0; c < 5; c++) code_of[(u8)bases[c]] = (int8_t)c;
+
+    std::vector<i64> hom_offsets(n + 1, 0);
+    for (i64 g = 0; g < n; g++)
+        hom_offsets[g + 1] = hom_offsets[g] + hom_counts[g];
+
+    int failed = 0;
+#pragma omp parallel for schedule(dynamic)
+    for (i64 g = 0; g < n; g++) {
+        u8 *row = out + g * ref_len;
+        std::memset(row, PILE_INVALID, (size_t)ref_len);
+        const u8 *q = qptrs[g];
+        const i64 qlen = qlens[g];
+        // validate the whole query up front (same contract as
+        // core/pileup.byte_to_code, which codes the full sequence)
+        bool bad = false;
+        for (i64 t = 0; t < qlen; t++) {
+            if (code_of[q[t]] < 0) {
+#pragma omp critical
+                {
+                    failed = 1;
+                    *bad_byte = q[t];
+                }
+                bad = true;
+                break;
+            }
+        }
+        if (bad) continue;
+        for (i64 r = hom_offsets[g]; r < hom_offsets[g + 1]; r++) {
+            const i64 *rec = homs + 4 * r;
+            i64 dir = rec[0], iq = rec[1], start = rec[2], len = rec[3];
+            if (len <= 0) continue;
+            if (dir) {
+                const u8 *src = q + iq + len - 1;
+                // ref column start+k aligns with query byte iq+len-1-k
+                // (core/pileup.py build_pileup_row)
+                for (i64 k = 0; k < len; k++)
+                    row[start + k] = (u8)(code_of[src[-k]] + 5);
+            } else {
+                const u8 *src = q + iq;
+                for (i64 k = 0; k < len; k++)
+                    row[start + k] = (u8)code_of[src[k]];
+            }
+        }
+    }
+    return failed;
+}
+
 // All-pairs (substitutions, homologs) over pileup columns [col_lo, col_hi).
 // `states` is the row-major [n, stride] uint8 matrix; counts ACCUMULATE
 // into subs/homs (callers zero them first and may chunk the column range

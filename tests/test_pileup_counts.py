@@ -98,3 +98,48 @@ def test_device_path_odd_sizes():
     s2, h2 = pair_counts_device(states, block=256)
     assert np.array_equal(s1, s2)
     assert np.array_equal(h1, h2)
+
+
+def test_native_pileup_matches_row_oracle(rng):
+    """The C++ pileup fill must be bit-identical to the per-row numpy
+    oracle, including reverse rows, '!' separators, and zero-length
+    homologies."""
+    import pytest
+
+    pytest.importorskip("phylonium_tpu.native")
+    from phylonium_tpu.core.homology import FORWARD, REVERSE, Homology
+    from phylonium_tpu.core.pileup import build_pileup, build_pileup_row
+    from phylonium_tpu.native import build_pileup_native
+
+    acgtx = np.frombuffer(b"ACGT!", np.uint8)
+    queries, homologies = [], []
+    ref_len = 900
+    for g in range(5):
+        q = rng.choice(acgtx, 1100)
+        hv = [
+            Homology(FORWARD, 10 * g, 10 * g, 5, 200),
+            Homology(REVERSE, 400, 400, 300, 150),
+            Homology(FORWARD, 700, 700, 600, 0),  # skipped
+        ]
+        queries.append(q)
+        homologies.append(hv)
+    native = build_pileup_native(queries, homologies, ref_len)
+    for g in range(5):
+        oracle = build_pileup_row(queries[g], homologies[g], ref_len)
+        np.testing.assert_array_equal(native[g], oracle)
+    # dispatcher returns the same thing
+    np.testing.assert_array_equal(
+        build_pileup(queries, homologies, ref_len), native
+    )
+
+
+def test_native_pileup_bad_byte(rng):
+    import pytest
+
+    pytest.importorskip("phylonium_tpu.native")
+    from phylonium_tpu.core.homology import FORWARD, Homology
+    from phylonium_tpu.native import build_pileup_native
+
+    q = np.frombuffer(b"ACGTNACGT", np.uint8).copy()
+    with pytest.raises(ValueError, match="unexpected byte"):
+        build_pileup_native([q], [[Homology(FORWARD, 0, 0, 0, 4)]], 10)
