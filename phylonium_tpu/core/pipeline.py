@@ -278,14 +278,19 @@ def _race_host(states, device_fn, progress=None):
 
     from phylonium_tpu.ops.bitplane_host import pair_counts_host
 
+    import os
+    import time
+
+    debug = os.environ.get("PHYLONIUM_TPU_DEBUG")
     outcome: dict = {}
     done = threading.Event()
+    t0 = time.time()
 
     def device_work():
         try:
             outcome["result"] = device_fn()
-        except Exception:
-            pass
+        except Exception as e:
+            outcome["error"] = e
         finally:
             done.set()
 
@@ -296,12 +301,30 @@ def _race_host(states, device_fn, progress=None):
     host_result = pair_counts_host(
         states, poll=done.is_set, progress=progress
     )
+
+    def trace(msg):
+        if debug:
+            import sys
+
+            print(
+                f"compare race: {msg} after {time.time() - t0:.2f}s"
+                + (
+                    f" (device error: {outcome['error']!r})"
+                    if "error" in outcome
+                    else ""
+                ),
+                file=sys.stderr,
+            )
+
     if host_result is not None and "result" not in outcome:
+        trace("host won")
         return host_result
     done.wait()
     if "result" in outcome:
+        trace("device won")
         return outcome["result"]
     # device path failed and the host run was aborted: redo on host
+    trace("device failed, redoing on host")
     return pair_counts_host(states, progress=progress)
 
 
