@@ -91,13 +91,17 @@ def test_structural_fuzz_matches_reference(oracle, tmp_path, seed):  # noqa: F81
     _write_fasta(path, "UNREL", unrelated, 1, rng)
     files.append(path.name)
 
-    # random flag combinations widen the surface under fuzz
+    # random flag combinations widen the surface under fuzz; our-side
+    # backend flags rotate too (every counting path must stay identical)
     flag_sets = [[], ["-2"], ["--complete-deletion"], ["--distance=ani"]]
     flags = flag_sets[int(rng.integers(0, len(flag_sets)))]
+    backend_sets = [[], ["--count-backend=host"], ["--mesh=2,4"]]
+    backend = backend_sets[int(rng.integers(0, len(backend_sets)))]
 
     rc0, out0, _err0 = run_oracle([*flags, *sorted(files)], str(tmp_path))
     rc1, out1, _err1 = run_ours(
-        ["--progress=never", *flags, *sorted(files)], str(tmp_path)
+        ["--progress=never", *backend, *flags, *sorted(files)],
+        str(tmp_path),
     )
     assert rc0 == rc1
     assert out1 == out0
