@@ -46,8 +46,8 @@ class _Machine:
 
     __slots__ = (
         "ref", "q", "qlen", "threshold", "border", "SA", "hv",
-        "last_pos_Q", "last_pos_S", "last_length", "last_right",
-        "this_pos_Q", "current", "diag", "mm", "fs", "fe",
+        "prev_q", "prev_s", "prev_len", "merged",
+        "cursor", "open_seg", "diag", "mm", "fs", "fe",
         "request", "done",
     )
 
@@ -59,12 +59,12 @@ class _Machine:
         self.border = ref.size // 2
         self.SA = ref.SA
         self.hv: list[Homology] = []
-        self.last_pos_Q = 0
-        self.last_pos_S = 0
-        self.last_length = 0
-        self.last_right = False
-        self.this_pos_Q = 0
-        self.current = Homology.at(0, 0)
+        self.prev_q = 0
+        self.prev_s = 0
+        self.prev_len = 0
+        self.merged = False
+        self.cursor = 0
+        self.open_seg = Homology.at(0, 0)
         # cached mismatch positions for one diagonal, covering [fs, fe)
         self.diag: int | None = None
         self.mm: np.ndarray | None = None
@@ -102,40 +102,40 @@ class _Machine:
 
     # -- chain events (oracle semantics, src/process.cxx:245-295) -------
 
-    def _on_success(self, this_pos_S: int, this_length: int) -> None:
-        end_S = self.last_pos_S + self.last_length
-        end_Q = self.last_pos_Q + self.last_length
+    def _accept_seed(self, seed_s: int, seed_len: int) -> None:
+        end_S = self.prev_s + self.prev_len
+        end_Q = self.prev_q + self.prev_len
         if (
-            this_pos_S > end_S
-            and self.this_pos_Q - end_Q == this_pos_S - end_S
-            and (this_pos_S < self.border) == (self.last_pos_S < self.border)
+            seed_s > end_S
+            and self.cursor - end_Q == seed_s - end_S
+            and (seed_s < self.border) == (self.prev_s < self.border)
         ):
-            self.current.extend(self.this_pos_Q - end_Q + this_length)
-            self.last_right = True
+            self.open_seg.extend(self.cursor - end_Q + seed_len)
+            self.merged = True
         else:
-            if self.last_right or self.last_length // 2 >= self.threshold:
-                self.current.reverse_eh(self.border)
-                self.hv.append(self.current)
-            self.current = Homology.at(
-                this_pos_S, self.this_pos_Q, this_length
+            if self.merged or self.prev_len // 2 >= self.threshold:
+                self.open_seg.reverse_eh(self.border)
+                self.hv.append(self.open_seg)
+            self.open_seg = Homology.at(
+                seed_s, self.cursor, seed_len
             )
-            self.last_right = False
-        self.last_pos_Q = self.this_pos_Q
-        self.last_pos_S = this_pos_S
-        self.last_length = this_length
+            self.merged = False
+        self.prev_q = self.cursor
+        self.prev_s = seed_s
+        self.prev_len = seed_len
 
-    def _lucky(self):
+    def _probe_diagonal(self):
         """Lucky anchor via the diagonal bitmap; None = failed/inapplicable."""
-        advance = self.this_pos_Q - self.last_pos_Q
-        gap = advance - self.last_length
-        try_pos_S = self.last_pos_S + advance
-        if try_pos_S >= self.ref.size or gap > self.threshold:
+        advance = self.cursor - self.prev_q
+        gap = advance - self.prev_len
+        diag_s = self.prev_s + advance
+        if diag_s >= self.ref.size or gap > self.threshold:
             return None
-        d = self.last_pos_S - self.last_pos_Q
-        nm = self._next_mm(d, self.this_pos_Q)
-        this_length = nm - self.this_pos_Q
-        if this_length >= self.threshold:
-            return try_pos_S, this_length
+        d = self.prev_s - self.prev_q
+        nm = self._next_mm(d, self.cursor)
+        seed_len = nm - self.cursor
+        if seed_len >= self.threshold:
+            return diag_s, seed_len
         return None
 
     def _consume_runs(self) -> None:
@@ -149,17 +149,17 @@ class _Machine:
         """
         thr = self.threshold
         while True:
-            p0 = self.this_pos_Q
+            p0 = self.cursor
             if p0 >= self.qlen:
                 return
-            d = self.last_pos_S - self.last_pos_Q
+            d = self.prev_s - self.prev_q
             if d + p0 >= self.ref.size:
                 return
             self._next_mm(d, p0)  # ensure coverage (may raise)
             i0 = int(np.searchsorted(self.mm, p0))
             M = self.mm[i0:]
             if len(M) == 0:
-                return  # re-handled via _next_mm on next lucky
+                return  # re-handled via _next_mm on the next diagonal probe
             p_arr = np.empty(len(M), np.int64)
             p_arr[0] = p0
             p_arr[1:] = M[:-1] + 1
@@ -175,7 +175,7 @@ class _Machine:
             # '#'-border crossing: s-positions increase, so the side
             # flips at most once; steps before the flip are right
             # anchors, the flip step is a left anchor.
-            side0 = self.last_pos_S < self.border
+            side0 = self.prev_s < self.border
             sides = (d + p_arr[:n_ok]) < self.border
             flip = (
                 int(np.argmax(sides != side0))
@@ -185,53 +185,53 @@ class _Machine:
             b = min(n_ok, flip) if flip > 0 else 0
             if b > 0:
                 # right-anchor batch [0, b)
-                end_Q = self.last_pos_Q + self.last_length
-                self.current.extend(int(M[b - 1]) - end_Q)
-                self.last_right = True
-                self.last_pos_Q = int(p_arr[b - 1])
-                self.last_pos_S = d + int(p_arr[b - 1])
-                self.last_length = int(runs[b - 1])
-                self.this_pos_Q = int(M[b - 1]) + 1
+                end_Q = self.prev_q + self.prev_len
+                self.open_seg.extend(int(M[b - 1]) - end_Q)
+                self.merged = True
+                self.prev_q = int(p_arr[b - 1])
+                self.prev_s = d + int(p_arr[b - 1])
+                self.prev_len = int(runs[b - 1])
+                self.cursor = int(M[b - 1]) + 1
             if b < n_ok:
                 # the border-crossing step: left anchor
-                self.this_pos_Q = int(p_arr[b])
-                self._on_success(d + int(p_arr[b]), int(runs[b]))
-                self.this_pos_Q += int(runs[b]) + 1
+                self.cursor = int(p_arr[b])
+                self._accept_seed(d + int(p_arr[b]), int(runs[b]))
+                self.cursor += int(runs[b]) + 1
             elif b < len(ok):
                 return  # next step's run is sub-threshold -> slow path
             # else: coverage exhausted; loop refetches via _next_mm
 
     def _finish(self) -> None:
-        if self.last_length >= self.qlen:
+        if self.prev_len >= self.qlen:
             # identical-sequence special case (src/process.cxx:284-287)
-            self.current = Homology.at(self.last_pos_S, 0, self.qlen)
-        if self.last_right or self.last_length // 2 >= self.threshold:
-            self.current.reverse_eh(self.border)
-            self.hv.append(self.current)
+            self.open_seg = Homology.at(self.prev_s, 0, self.qlen)
+        if self.merged or self.prev_len // 2 >= self.threshold:
+            self.open_seg.reverse_eh(self.border)
+            self.hv.append(self.open_seg)
 
     def run(self) -> bool:
         """Advance until finished (True) or blocked on a bitmap (False)."""
         if self.done:
             return True
         try:
-            while self.this_pos_Q < self.qlen:
-                res = self._lucky()
+            while self.cursor < self.qlen:
+                res = self._probe_diagonal()
                 if res is not None:
                     ts, tl = res
-                    self._on_success(ts, tl)
-                    self.this_pos_Q += tl + 1
+                    self._accept_seed(ts, tl)
+                    self.cursor += tl + 1
                     self._consume_runs()
                 else:
                     l, i, j = self.ref.longest_match(
-                        self.q, self.this_pos_Q, self.qlen - self.this_pos_Q
+                        self.q, self.cursor, self.qlen - self.cursor
                     )
                     tl = max(l, 0)
                     if i == j and tl >= self.threshold:
-                        self._on_success(int(self.SA[i]), tl)
-                        self.this_pos_Q += tl + 1
+                        self._accept_seed(int(self.SA[i]), tl)
+                        self.cursor += tl + 1
                         self._consume_runs()
                     else:
-                        self.this_pos_Q += tl + 1
+                        self.cursor += tl + 1
             self._finish()
             self.done = True
             return True
