@@ -302,6 +302,14 @@ def main(argv: list[str] | None = None) -> int:
     else:
         reference_index = pick_first_pass(queries, verbose=bool(cfg.verbose))
 
+    # The persistent compile cache is cheap to enable (a config flag +
+    # copying shipped executables; no backend init) and ANY code path
+    # may end up compiling — hybrid mapping, a -2 second pass crossing
+    # the work threshold — so it is enabled unconditionally.
+    from phylonium_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     # device-bound runs: start the backend handshake now (tunnelled TPU
     # init can take seconds) so it overlaps the host index/map phases.
     # Panels the work-based dispatch keeps on the host never touch the
@@ -312,10 +320,6 @@ def main(argv: list[str] | None = None) -> int:
         len(queries), len(queries[reference_index]), cfg
     ):
         import threading
-
-        from phylonium_tpu.utils.cache import enable_compile_cache
-
-        enable_compile_cache()
 
         def _init_backend():
             try:
@@ -358,12 +362,19 @@ def main(argv: list[str] | None = None) -> int:
                 counts = process(queries[reference_index], queries, cfg)
 
     # multi-host SPMD: every process computes the (identical, bit-exact)
-    # matrix; only the coordinator prints it
-    if cfg.count_backend not in ("numpy", "host"):
-        import jax
+    # matrix; only the coordinator prints it.  The distributed state is
+    # read directly (jax.process_count() may initialize the backend —
+    # seconds of handshake a host-dispatched run never needs, and a
+    # crash risk right before printing).
+    try:
+        from jax._src import distributed
 
-        if jax.process_count() > 1 and jax.process_index() != 0:
+        if (
+            distributed.global_state.num_processes or 1
+        ) > 1 and distributed.global_state.process_id != 0:
             return cfg.return_code
+    except Exception:
+        pass
 
     names = [q.name for q in queries]
     lengths = np.array([len(q) for q in queries], dtype=np.int64)

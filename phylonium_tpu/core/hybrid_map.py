@@ -264,19 +264,45 @@ def hybrid_map_queries(
             "hybrid map backend addresses the index with int32 offsets; "
             f"reference of {ref.size} bases needs the native backend"
         )
+    if queries and max(len(q) for q in queries) > max_i32:
+        # a single query beyond int32 cannot be offset-addressed at all
+        raise ValueError(
+            "hybrid map backend addresses queries with int32 offsets; "
+            f"a {max(len(q) for q in queries)}-base query needs the "
+            "native backend"
+        )
     total = sum(len(q) for q in queries)
     if total > max_i32:
         out: list[list[Homology]] = []
+        done = 0
+
+        def group_progress(d, base):
+            if progress is not None:
+                progress(base + d)
+
         group: list[np.ndarray] = []
         group_bases = 0
         for q in queries:
             if group and group_bases + len(q) > max_i32:
-                out.extend(hybrid_map_queries(ref, threshold, group, chunk))
+                base = done
+                out.extend(
+                    hybrid_map_queries(
+                        ref, threshold, group, chunk,
+                        progress=lambda d, b=base: group_progress(d, b),
+                    )
+                )
+                done += len(group)
                 group, group_bases = [], 0
             group.append(q)
             group_bases += len(q)
         if group:
-            out.extend(hybrid_map_queries(ref, threshold, group, chunk))
+            base = done
+            out.extend(
+                hybrid_map_queries(
+                    ref, threshold, group, chunk,
+                    progress=lambda d, b=base: group_progress(d, b),
+                )
+            )
         return out
 
     s_dev = jnp.asarray(pad_text(ref.S, "a", _TILE))

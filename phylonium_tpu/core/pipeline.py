@@ -355,7 +355,10 @@ def pair_counts(
 
         return pair_counts_host(states, progress=progress)
 
-    if _mesh_device_count(cfg) > 1:
+    # the mesh engages for 'auto' and for an explicit --mesh; an
+    # explicit 'pallas'/'device' names the single-device path and must
+    # actually run it (reproducibility/debugging)
+    if (backend == "auto" or cfg.mesh) and _mesh_device_count(cfg) > 1:
         return _pair_counts_mesh(states, cfg)
 
     if backend == "auto" and _use_pallas(cfg):
@@ -379,7 +382,9 @@ def prewarm_counts(n: int, ref_len: int, cfg: RunConfig):
     """
     import threading
 
-    if cfg.count_backend not in ("auto", "pallas"):
+    # 'device' routes to the Pallas kernel on TPU too (_use_pallas), so
+    # it gets the prewarm as well
+    if cfg.count_backend not in ("auto", "pallas", "device"):
         return None
     if _auto_prefers_host(n, ref_len, cfg):
         return None  # panel stays on the host; don't spin up the device

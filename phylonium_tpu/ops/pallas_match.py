@@ -504,7 +504,10 @@ def pair_counts_pallas_blocked(
         a, alo, ahi = padded_rows(i)
         for j in range(i, n_blocks):
             if progress is not None:
-                progress(len(pending) / n_panels)
+                # panels are dispatched asynchronously; the stacked
+                # fetch at the end is where completion actually lands,
+                # so cap the dispatch fraction below 100%
+                progress(0.9 * len(pending) / n_panels)
             b, blo, bhi = padded_rows(j)
             m_acc = None
             h_acc = None
