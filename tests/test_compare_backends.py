@@ -144,3 +144,44 @@ def test_auto_dispatch_thresholds():
     )
     tuned = RunConfig(auto_device_min_gbp=1.0)
     assert not _auto_prefers_host(29, 5_000_000, tuned)
+
+
+def test_explicit_pallas_not_rerouted_to_mesh(states, monkeypatch):
+    """--count-backend=pallas must run the named single-device path even
+    when multiple devices are visible (regression: it was silently
+    rerouted to the mesh)."""
+    import phylonium_tpu.core.pipeline as pipe
+
+    called = {}
+
+    def spy_device(s, cfg, progress=None):
+        called["device"] = True
+        return pair_counts_numpy(s)
+
+    def spy_mesh(s, cfg):
+        called["mesh"] = True
+        return pair_counts_numpy(s)
+
+    monkeypatch.setattr(pipe, "_pair_counts_device", spy_device)
+    monkeypatch.setattr(pipe, "_pair_counts_mesh", spy_mesh)
+    pair_counts(states, RunConfig(count_backend="pallas"))
+    assert called == {"device": True}
+    called.clear()
+    pair_counts(states, RunConfig(count_backend="pallas", mesh="2,4"))
+    assert called == {"mesh": True}
+
+
+def test_hybrid_rejects_oversized_single_query(monkeypatch):
+    import phylonium_tpu.core.hybrid_map as hm
+
+    class FakeRef:
+        size = 1000
+        S = np.zeros(1, np.uint8)
+        SA = np.zeros(1, np.int64)
+
+    class FakeHuge:
+        def __len__(self):
+            return (1 << 31) + 5
+
+    with pytest.raises(ValueError, match="int32"):
+        hm.hybrid_map_queries(FakeRef(), 20, [FakeHuge()])
