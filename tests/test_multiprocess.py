@@ -202,3 +202,48 @@ def test_two_process_mesh(tmp_path):
     for rc, out, err in outs:
         assert rc == 0, f"worker failed:\n{out}\n{err[-2000:]}"
         assert ": ok" in out
+
+
+def test_two_process_cli_with_shared_checkpoint(tmp_path, rng):
+    """Query-sharded mapping + a shared --checkpoint dir: per-process
+    writes are content-addressed (idempotent), reruns reuse them, and
+    stdout stays identical."""
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    base = rng.choice(acgt, 8_000)
+    files = []
+    for k, p in enumerate([0.0, 0.02, 0.05, 0.08]):
+        arr = base.copy()
+        idx = np.flatnonzero(rng.random(arr.size) < p)
+        arr[idx] = acgt[(rng.integers(1, 4, idx.size) + arr[idx]) % 4]
+        path = tmp_path / f"g{k}.fasta"
+        path.write_bytes(b">g%d\n" % k + arr.tobytes() + b"\n")
+        files.append(str(path))
+
+    ckpt = tmp_path / "ckpt"
+    worker = CLI_WORKER.replace(
+        "rc = main([\"-v\", \"-v\", *files])",
+        f"rc = main(['-v', '-v', '--checkpoint', {str(ckpt)!r}, *files])",
+    )
+
+    import contextlib
+    import io
+
+    from phylonium_tpu.cli import main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["--count-backend", "numpy", *files]) == 0
+    expected = buf.getvalue()
+
+    for attempt in range(2):  # second run hits the checkpoint
+        outs = _launch(worker, tmp_path, extra_args=(str(tmp_path),))
+        for pid, (rc, out, err) in enumerate(outs):
+            assert rc == 0, f"attempt {attempt} worker {pid}:\n{err[-1500:]}"
+        got = "".join(
+            ln
+            for ln in outs[0][1]
+            .replace("<<proc 0 done>>", "")
+            .splitlines(keepends=True)
+            if not ln.startswith("[Gloo]")
+        )
+        assert got == expected, f"attempt {attempt} differs"
