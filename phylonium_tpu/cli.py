@@ -333,15 +333,12 @@ def main(argv: list[str] | None = None) -> int:
             target=_init_backend, daemon=True, name="backend-init"
         ).start()
 
-    import contextlib
-
-    prof = contextlib.nullcontext()
     if cfg.profile_dir:
         import jax
 
-        prof = jax.profiler.trace(cfg.profile_dir)
+        jax.profiler.start_trace(cfg.profile_dir)
 
-    with prof:
+    try:
         counts = process(queries[reference_index], queries, cfg)
 
         if cfg.two_pass:
@@ -360,6 +357,28 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 reference_index = second_index
                 counts = process(queries[reference_index], queries, cfg)
+    finally:
+        if cfg.profile_dir:
+            # stop_trace can hang forever collecting from a tunnelled
+            # TPU plugin (observed on the axon backend even with the
+            # backend initialized); bound it and keep the run alive —
+            # losing a trace beats losing the matrix
+            import threading
+
+            import jax
+
+            stopper = threading.Thread(
+                target=lambda: jax.profiler.stop_trace(), daemon=True
+            )
+            stopper.start()
+            stopper.join(timeout=30.0)
+            if stopper.is_alive():
+                cfg.warn(
+                    "profiler trace collection timed out after 30s "
+                    "(tunnelled TPU plugin); trace may be missing — "
+                    "profile the host side with "
+                    "PHYLONIUM_TPU_PLATFORM=cpu"
+                )
 
     # multi-host SPMD: every process computes the (identical, bit-exact)
     # matrix; only the coordinator prints it.  The distributed state is
