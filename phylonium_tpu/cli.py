@@ -121,10 +121,39 @@ def _expand_bundles(argv: list[str]) -> list[str]:
     return out
 
 
+# every long option, for getopt_long-style unambiguous-prefix matching
+_LONG_OPTS = (
+    "2pass", "bootstrap", "complete-deletion", "distance", "help",
+    "progress", "threads", "verbose", "version", "esa-backend",
+    "count-backend", "map-backend", "mesh", "checkpoint", "profile",
+)
+
+
+def _canonical_long(arg: str) -> str:
+    """Resolve '--boot' to '--bootstrap' like getopt_long does; exact
+    names win, ambiguous or unknown prefixes pass through (and fail
+    downstream like any unknown option)."""
+    name, eq, value = arg[2:].partition("=")
+    if name in _LONG_OPTS:
+        return arg
+    hits = [o for o in _LONG_OPTS if o.startswith(name)] if name else []
+    if len(hits) == 1:
+        return f"--{hits[0]}{eq}{value}"
+    return arg
+
+
 def parse_args(argv: list[str]) -> tuple[RunConfig, list[str]]:
     cfg = RunConfig()
     files: list[str] = []
     argv = _expand_bundles(argv)
+    canon: list[str] = []
+    seen_dashes = False
+    for a in argv:
+        seen_dashes = seen_dashes or a == "--"
+        if not seen_dashes and a.startswith("--"):
+            a = _canonical_long(a)
+        canon.append(a)
+    argv = canon
     i = 0
 
     def take_value(flag: str) -> str:
@@ -198,21 +227,45 @@ def parse_args(argv: list[str]) -> tuple[RunConfig, list[str]]:
         elif arg == "--version":
             want_version = True
         elif arg == "--esa-backend" or arg.startswith("--esa-backend="):
-            cfg.esa_backend = (
-                arg.split("=", 1)[1] if "=" in arg else take_value(arg)
-            )
+            val = arg.split("=", 1)[1] if "=" in arg else take_value(arg)
+            if val in ("auto", "native", "numpy"):
+                cfg.esa_backend = val
+            else:
+                cfg.soft_error(
+                    f"ignoring argument for --esa-backend '{val}' expected "
+                    "one of 'auto', 'native', or 'numpy'"
+                )
         elif arg == "--count-backend" or arg.startswith("--count-backend="):
-            cfg.count_backend = (
-                arg.split("=", 1)[1] if "=" in arg else take_value(arg)
-            )
+            val = arg.split("=", 1)[1] if "=" in arg else take_value(arg)
+            if val in ("auto", "pallas", "device", "host", "numpy"):
+                cfg.count_backend = val
+            else:
+                cfg.soft_error(
+                    f"ignoring argument for --count-backend '{val}' "
+                    "expected one of 'auto', 'pallas', 'device', 'host', "
+                    "or 'numpy'"
+                )
         elif arg == "--mesh" or arg.startswith("--mesh="):
-            cfg.mesh = (
-                arg.split("=", 1)[1] if "=" in arg else take_value(arg)
-            )
+            val = arg.split("=", 1)[1] if "=" in arg else take_value(arg)
+            parts = val.split(",")
+            if all(p.isdigit() and int(p) > 0 for p in parts) and len(
+                parts
+            ) in (1, 2):
+                cfg.mesh = val
+            else:
+                cfg.soft_error(
+                    f"ignoring argument for --mesh '{val}' expected "
+                    "'R,C' with positive integers"
+                )
         elif arg == "--map-backend" or arg.startswith("--map-backend="):
-            cfg.map_backend = (
-                arg.split("=", 1)[1] if "=" in arg else take_value(arg)
-            )
+            val = arg.split("=", 1)[1] if "=" in arg else take_value(arg)
+            if val in ("auto", "native", "python", "hybrid"):
+                cfg.map_backend = val
+            else:
+                cfg.soft_error(
+                    f"ignoring argument for --map-backend '{val}' expected "
+                    "one of 'auto', 'native', 'python', or 'hybrid'"
+                )
         elif arg == "--checkpoint" or arg.startswith("--checkpoint="):
             cfg.checkpoint_dir = (
                 arg.split("=", 1)[1] if "=" in arg else take_value(arg)
@@ -357,6 +410,12 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 reference_index = second_index
                 counts = process(queries[reference_index], queries, cfg)
+    except ValueError as e:
+        # configuration/limit errors surfaced by the pipeline (backend
+        # combinations, mesh-vs-device mismatch, index limits) fail
+        # cleanly instead of with a traceback
+        print(f"{PROG}: {e}", file=sys.stderr)
+        return 1
     finally:
         if cfg.profile_dir:
             # stop_trace can hang forever collecting from a tunnelled

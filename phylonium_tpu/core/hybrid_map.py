@@ -258,7 +258,10 @@ def hybrid_map_queries(
     # device offsets are int32: guard the index text and chunk the query
     # batch so concatenated bases stay addressable (same bound the
     # device pileup builder enforces via _MAX_GROUP_BASES)
-    max_i32 = (1 << 31) - 1 - _TILE
+    # headroom covers the furthest lane a bitmap fetch can address:
+    # a request at the guard boundary still advances by up to `chunk`
+    # rounds plus a tile before the past-limit masks take over
+    max_i32 = (1 << 31) - 1 - chunk - _TILE
     if ref.size > max_i32:
         raise ValueError(
             "hybrid map backend addresses the index with int32 offsets; "
@@ -326,7 +329,12 @@ def hybrid_map_queries(
             break
         # fixed-size batch (pad with repeats) so the jitted bitmap op
         # compiles once per (chunk, batch) shape
-        batch = blocked + [blocked[-1]] * (nq - len(blocked))
+        # pad the request batch to a power-of-two bucket so the jitted
+        # bitmap op's shape does not vary per run/panel size (remote
+        # compiles are minutes; CLAUDE.md: never add per-run-varying
+        # static shapes)
+        bucket = 1 << max(3, (len(blocked) - 1).bit_length())
+        batch = blocked + [blocked[-1]] * (bucket - len(blocked))
         off_a = np.array(
             [machines[k].request[0] + machines[k].request[1] for k in batch],
             np.int32,

@@ -99,6 +99,12 @@ def map_queries(
     map_backend = cfg.map_backend
     if map_backend == "auto":
         map_backend = "native" if ref.backend_name == "native" else "python"
+    elif map_backend == "native" and ref.backend_name != "native":
+        raise ValueError(
+            "--map-backend=native requires the native suffix index, but "
+            f"the '{ref.backend_name}' ESA backend is in use (pick "
+            "--esa-backend=native or another map backend)"
+        )
 
     if map_backend == "hybrid":
         # host chain state machine + device anchor extension (stage 4)
@@ -254,8 +260,13 @@ def _pair_counts_mesh(states: np.ndarray, cfg: RunConfig):
     if cfg.mesh:
         rows, _, cols = cfg.mesh.partition(",")
         shape = (int(rows), int(cols or "1"))
-        devices = jax.devices()[: shape[0] * shape[1]]
-        mesh = make_mesh(shape, devices=devices)
+        devices = jax.devices()
+        if shape[0] * shape[1] > len(devices):
+            raise ValueError(
+                f"--mesh {cfg.mesh} needs {shape[0] * shape[1]} devices; "
+                f"the runtime has {len(devices)}"
+            )
+        mesh = make_mesh(shape, devices=devices[: shape[0] * shape[1]])
     else:
         from phylonium_tpu.parallel.multihost import make_pod_mesh
 
@@ -359,7 +370,12 @@ def pair_counts(
     # explicit 'pallas'/'device' names the single-device path and must
     # actually run it (reproducibility/debugging)
     if (backend == "auto" or cfg.mesh) and _mesh_device_count(cfg) > 1:
-        return _pair_counts_mesh(states, cfg)
+        result = _pair_counts_mesh(states, cfg)
+        if progress is not None:
+            # the sharded compare is one collective program; nothing
+            # incremental to report, but complete the bar honestly
+            progress(1.0)
+        return result
 
     if backend == "auto" and _use_pallas(cfg):
         return _race_host(

@@ -119,7 +119,12 @@ def print_matrix(
         rng = np.random.default_rng()
         for _ in range(cfg.bootstrap):
             boot = counts.bootstrap(rng)
-            out.write(format_matrix(names, estimate(boot, cfg.distance), ani))
+            dist = estimate(boot, cfg.distance)
+            out.write(format_matrix(names, dist, ani))
+    # NOTE: with -b, `dist` is now the LAST replicate — deliberately:
+    # the reference overwrites dist_matrix per replicate and its verbose
+    # avg-coverage loop masks NaN cells by whatever it holds afterwards
+    # (src/io.cxx:188-214)
 
     if cfg.verbose:
         n = len(names)

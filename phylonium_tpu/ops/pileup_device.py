@@ -164,7 +164,10 @@ def _bucket(n: int, lo: int = 128) -> int:
     return -(-n // q) * q
 
 
-# one build's concatenated query bases must fit int32 indexing
+# one build's concatenated query bases must fit int32 indexing.  The
+# largest device index is a reverse interval's base b = iq + len - 1 +
+# start <= group_bases + 2 * ref_len (intervals_from_homologies), so the
+# group bound reserves that headroom in build_pileup_device.
 _MAX_GROUP_BASES = 1 << 31
 
 
@@ -182,8 +185,17 @@ def build_pileup_device(
     Query batches whose concatenated size exceeds int32 indexing are
     built in row groups and concatenated on device.
     """
+    # reverse intervals address up to group_bases + 2*ref_len (see
+    # _MAX_GROUP_BASES note); reserve that headroom
+    limit = _MAX_GROUP_BASES - 2 * ref_len - 1
     total_all = sum(len(q) for q in queries)
-    if total_all >= _MAX_GROUP_BASES and len(queries) > 1:
+    if queries and max(len(q) for q in queries) > limit:
+        raise ValueError(
+            "device pileup builder addresses queries with int32 "
+            f"indices; a {max(len(q) for q in queries)}-base query "
+            "needs the host builder"
+        )
+    if total_all >= limit and len(queries) > 1:
         groups = []
         row = 0
         while row < len(queries):
@@ -191,7 +203,7 @@ def build_pileup_device(
             acc = len(queries[row])
             while (
                 end < len(queries)
-                and acc + len(queries[end]) < _MAX_GROUP_BASES
+                and acc + len(queries[end]) < limit
             ):
                 acc += len(queries[end])
                 end += 1

@@ -122,7 +122,9 @@ def test_row_group_splitting(rng, make_genome, monkeypatch):
     """Force the >int32-bases group split path and compare to host."""
     import phylonium_tpu.ops.pileup_device as pd
 
-    monkeypatch.setattr(pd, "_MAX_GROUP_BASES", 1500)
+    # the group limit reserves 2*ref_len+1 headroom for reverse-interval
+    # base indices; aim for an effective per-group budget of 1500 bases
+    monkeypatch.setattr(pd, "_MAX_GROUP_BASES", 1500 + 2 * 800 + 1)
     queries, homologies = [], []
     for g in range(5):
         q = np.frombuffer(make_genome(rng, 900), np.uint8)
