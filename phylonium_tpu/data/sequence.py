@@ -60,6 +60,14 @@ def revcomp(nucl: bytes) -> bytes:
 
 def filter_nucl(raw: bytes) -> bytes:
     """Keep only canonical nucleotides (ACGT), uppercased."""
+    if len(raw) >= (1 << 16):
+        # one native pass beats the three numpy passes on big contigs
+        try:
+            from phylonium_tpu.native import filter_nucl_native
+
+            return filter_nucl_native(raw)
+        except Exception:
+            pass
     arr = np.frombuffer(raw, dtype=np.uint8)
     mapped = _FILTER_TABLE[arr]
     return mapped[mapped != 0].tobytes()

@@ -73,6 +73,12 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.phy_filter_nucl.restype = ctypes.c_int64
+        lib.phy_filter_nucl.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         lib.phy_seqcmp.restype = ctypes.c_int64
         lib.phy_seqcmp.argtypes = [
             ctypes.POINTER(ctypes.c_uint8),
@@ -149,6 +155,18 @@ def build_sa(s: np.ndarray) -> np.ndarray:
     out = np.empty(s.size, dtype=np.int64)
     lib.phy_build_sa(_u8ptr(s), s.size, _i64ptr(out))
     return out
+
+
+def filter_nucl_native(raw: bytes) -> bytes:
+    """One-pass ACGT filter + uppercase (data-model contract in
+    data/sequence.filter_nucl)."""
+    lib = get_lib()
+    src = np.frombuffer(raw, dtype=np.uint8)
+    dst = np.empty(max(src.size, 1), dtype=np.uint8)
+    kept = int(
+        lib.phy_filter_nucl(_u8ptr(src), src.size, _u8ptr(dst))
+    )
+    return dst[:kept].tobytes()
 
 
 def seqcmp(a: np.ndarray, b: np.ndarray) -> int:

@@ -968,6 +968,26 @@ void phy_build_sa(const u8 *s, i64 n, i64 *out) {
     std::memcpy(out, sa.data(), sizeof(i64) * n);
 }
 
+// Keep only ACGT/acgt bytes, uppercased (the data model's filter_nucl,
+// reference semantics src/sequence.cxx:109-146).  Returns the filtered
+// length; one pass, table-driven.
+i64 phy_filter_nucl(const u8 *__restrict__ src, i64 n,
+                    u8 *__restrict__ dst) {
+    u8 keep[256];
+    std::memset(keep, 0, sizeof(keep));
+    for (u8 c : {'A', 'C', 'G', 'T'}) {
+        keep[c] = c;
+        keep[c + 32] = c;  // lowercase folds up
+    }
+    i64 w = 0;
+    for (i64 i = 0; i < n; i++) {
+        u8 mapped = keep[src[i]];
+        dst[w] = mapped;
+        w += mapped != 0;
+    }
+    return w;
+}
+
 // Scalar mismatch kernels (host oracle / benchmarking):
 i64 phy_seqcmp(const u8 *a, const u8 *b, i64 len) {
     i64 cnt = 0;
