@@ -103,7 +103,8 @@ def _launch(script_text, tmp_path, extra_args=()):
     outs = []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=240)
+            # generous: the 1-core host swings ~10x under contention
+            out, err = p.communicate(timeout=420)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -192,7 +193,7 @@ def test_two_process_mesh(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=240)
+            out, err = p.communicate(timeout=420)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
