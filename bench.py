@@ -146,6 +146,49 @@ def simulate_panel(n=29, length=5_000_000, seed=29):
     return genomes
 
 
+def measure_cross_512(length: int) -> float:
+    """Tbp/s of pair work through the rectangular kernel at 512-row
+    panels — the row-blocked path's unit of work, where one-hot-plane
+    reuse is quadratic (~74% of peak MXU measured; ARCHITECTURE.md)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from phylonium_tpu.ops.pallas_match import (
+        blocked_call_shape,
+        cross_counts_pallas,
+        pack_states,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 512
+    states = rng.integers(0, 11, size=(n, length), dtype=np.uint8)
+    rb_pad, block, cols = blocked_call_shape(1000, length)
+    packed = jnp.asarray(pack_states(states, rb_pad, cols))
+    reps = 8
+
+    def chained(a):
+        def body(i, carry):
+            acc, s = carry
+            s = lax.dynamic_update_slice(
+                s, (acc[:1, :1] % 11).astype(jnp.uint8), (0, 0)
+            )
+            m, h = cross_counts_pallas(s, s, block, packed=True)
+            return (acc + m, s)
+
+        z = jnp.zeros((rb_pad, rb_pad), jnp.int32)
+        return lax.fori_loop(0, reps, body, (z, a))[0]
+
+    cj = jax.jit(chained)
+    np.asarray(cj(packed))  # warm/compile
+    best = 1e9
+    for _ in range(2):
+        t0 = time.time()
+        np.asarray(cj(packed))
+        best = min(best, time.time() - t0)
+    return n * n * length / (best / reps) / 1e12
+
+
 def measure_anchor_extend(genome: bytes, length: int) -> float:
     """Chained on-device throughput of the Pallas extension kernel."""
     import jax
@@ -327,6 +370,13 @@ def main():
         measure_anchor_extend(genomes[0], length) if use_pallas else 0.0
     )
 
+    cross512_tbp_s = 0.0
+    if use_pallas:
+        try:
+            cross512_tbp_s = measure_cross_512(length)
+        except Exception:
+            pass  # best-effort secondary metric
+
 
     # host oracle baseline: the reference-style byte loop on a sample of
     # column range, extrapolated (numpy-vectorized stand-in for seqcmp)
@@ -405,6 +455,7 @@ def main():
         "t_compare_device": round(t_compare, 4),
         "kernel": "pallas" if use_pallas else "xla",
         "compare_gbp_per_s": round(gbp / t_compare, 2),
+        "cross512_tbp_s": round(cross512_tbp_s, 2),
         "anchor_extend_gbp_s": round(anchor_extend_gbp_s, 2),
         "host_oracle_pairs_per_s": round(host_pairs_per_s, 3),
         "platform": jax.devices()[0].platform,
