@@ -41,7 +41,7 @@ def prewarm_shape(n: int, length: int) -> None:
         pass
 
 
-def end_to_end_vs_reference(genomes, timeout_s: int = 420) -> dict:
+def end_to_end_vs_reference(genomes, timeout_s: int = 300) -> dict:
     """Wall-clock both CLIs on identical FASTA files; byte-compare output.
 
     Best-effort: returns {} when the reference oracle binary is missing
