@@ -99,14 +99,12 @@ def end_to_end_vs_reference(genomes, timeout_s: int = 300) -> dict:
             )
             return {}
 
-        def norm(out):
-            return sorted(out.decode().strip().splitlines())
-
         return {
             "e2e_ref_s": round(t_ref, 2),
             "e2e_tpu_s": round(t_tpu, 2),
             "e2e_speedup": round(t_ref / t_tpu, 3),
-            "e2e_identical": norm(r_ref.stdout) == norm(r_tpu.stdout),
+            # byte equality — the same invariant the test suite holds
+            "e2e_identical": r_ref.stdout == r_tpu.stdout,
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -32,7 +32,7 @@ import sys
 import numpy as np
 
 from phylonium_tpu import __version__
-from phylonium_tpu.config import PROG, RunConfig
+from phylonium_tpu.config import ConfigError, PROG, RunConfig
 from phylonium_tpu.core.pipeline import process
 from phylonium_tpu.core.reference_pick import pick_first_pass, pick_second_pass
 from phylonium_tpu.data.sequence import join
@@ -410,10 +410,11 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 reference_index = second_index
                 counts = process(queries[reference_index], queries, cfg)
-    except ValueError as e:
+    except ConfigError as e:
         # configuration/limit errors surfaced by the pipeline (backend
         # combinations, mesh-vs-device mismatch, index limits) fail
-        # cleanly instead of with a traceback
+        # cleanly instead of with a traceback; any other exception is a
+        # defect and keeps its traceback
         print(f"{PROG}: {e}", file=sys.stderr)
         return 1
     finally:

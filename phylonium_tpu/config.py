@@ -15,6 +15,32 @@ from dataclasses import dataclass, field
 PROG = "phylonium-tpu"
 
 
+class ConfigError(ValueError):
+    """A user-facing configuration/limit error from the pipeline.
+
+    The CLI catches exactly this (a clean one-line exit, like the
+    reference's errx paths) — any other exception is a defect and
+    keeps its traceback.
+    """
+
+
+def _env_float(name: str, default: float) -> float:
+    import os
+
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        return float(raw)
+    except ValueError:
+        print(
+            f"{PROG}: ignoring malformed {name}={raw!r} "
+            f"(expected a number); using {default}",
+            file=sys.stderr,
+        )
+        return default
+
+
 @dataclass
 class RunConfig:
     distance: str = "jc"  # 'jc' | 'raw' | 'ani'
@@ -43,10 +69,8 @@ class RunConfig:
     # ARCHITECTURE.md.  Tune per deployment:
     # PHYLONIUM_TPU_AUTO_DEVICE_GBP.
     auto_device_min_gbp: float = field(
-        default_factory=lambda: float(
-            __import__("os").environ.get(
-                "PHYLONIUM_TPU_AUTO_DEVICE_GBP", "128"
-            )
+        default_factory=lambda: _env_float(
+            "PHYLONIUM_TPU_AUTO_DEVICE_GBP", 128.0
         )
     )
     checkpoint_dir: str = ""  # reuse/persist mapping results here

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from phylonium_tpu.config import ConfigError
 from phylonium_tpu.core.homology import Homology
 from phylonium_tpu.index.esa import ESAIndex
 
@@ -263,13 +264,13 @@ def hybrid_map_queries(
     # rounds plus a tile before the past-limit masks take over
     max_i32 = (1 << 31) - 1 - chunk - _TILE
     if ref.size > max_i32:
-        raise ValueError(
+        raise ConfigError(
             "hybrid map backend addresses the index with int32 offsets; "
             f"reference of {ref.size} bases needs the native backend"
         )
     if queries and max(len(q) for q in queries) > max_i32:
         # a single query beyond int32 cannot be offset-addressed at all
-        raise ValueError(
+        raise ConfigError(
             "hybrid map backend addresses queries with int32 offsets; "
             f"a {max(len(q) for q in queries)}-base query needs the "
             "native backend"

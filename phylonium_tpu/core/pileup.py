@@ -62,10 +62,12 @@ def build_pileup_row(
     length (projected coordinates live in [0, ref_len)).
     """
     row = np.full(ref_len, INVALID, dtype=np.uint8)
+    # code (and validate) the query once, not per homology — even with
+    # zero homologies, so malformed bytes raise identically to the
+    # native pass (which validates every query up front)
+    qcodes = byte_to_code(query)
     if not homologies:
         return row
-    # code (and validate) the query once, not per homology
-    qcodes = byte_to_code(query)
     for h in homologies:
         start, end = h.start(), h.end()
         if h.length <= 0:

@@ -23,7 +23,7 @@ import sys
 
 import numpy as np
 
-from phylonium_tpu.config import RunConfig
+from phylonium_tpu.config import ConfigError, RunConfig
 from phylonium_tpu.core.anchor_stats import min_anchor_length
 from phylonium_tpu.core.anchors import anchor_homologies
 from phylonium_tpu.core.complete_deletion import complete_delete
@@ -100,7 +100,7 @@ def map_queries(
     if map_backend == "auto":
         map_backend = "native" if ref.backend_name == "native" else "python"
     elif map_backend == "native" and ref.backend_name != "native":
-        raise ValueError(
+        raise ConfigError(
             "--map-backend=native requires the native suffix index, but "
             f"the '{ref.backend_name}' ESA backend is in use (pick "
             "--esa-backend=native or another map backend)"
@@ -262,7 +262,7 @@ def _pair_counts_mesh(states: np.ndarray, cfg: RunConfig):
         shape = (int(rows), int(cols or "1"))
         devices = jax.devices()
         if shape[0] * shape[1] > len(devices):
-            raise ValueError(
+            raise ConfigError(
                 f"--mesh {cfg.mesh} needs {shape[0] * shape[1]} devices; "
                 f"the runtime has {len(devices)}"
             )

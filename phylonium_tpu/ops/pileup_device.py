@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from phylonium_tpu.config import ConfigError
 from phylonium_tpu.core.homology import REVERSE, Homology
 from phylonium_tpu.core.pileup import INVALID, N_BASE
 
@@ -190,7 +191,7 @@ def build_pileup_device(
     limit = _MAX_GROUP_BASES - 2 * ref_len - 1
     total_all = sum(len(q) for q in queries)
     if queries and max(len(q) for q in queries) > limit:
-        raise ValueError(
+        raise ConfigError(
             "device pileup builder addresses queries with int32 "
             f"indices; a {max(len(q) for q in queries)}-base query "
             "needs the host builder"

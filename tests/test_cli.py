@@ -219,3 +219,38 @@ def test_profile_flag_writes_trace(tmp_path, pair_dir):
     for root, _dirs, names in os.walk(prof):
         found += [n for n in names if n.endswith((".xplane.pb", ".json.gz"))]
     assert found, "no profiler artifacts written"
+
+
+def test_malformed_auto_device_gbp_env(monkeypatch, capsys):
+    """A garbled PHYLONIUM_TPU_AUTO_DEVICE_GBP warns and keeps the
+    default instead of crashing RunConfig construction."""
+    from phylonium_tpu.config import RunConfig
+
+    monkeypatch.setenv("PHYLONIUM_TPU_AUTO_DEVICE_GBP", "lots")
+    cfg = RunConfig()
+    assert cfg.auto_device_min_gbp == 128.0
+    assert "PHYLONIUM_TPU_AUTO_DEVICE_GBP" in capsys.readouterr().err
+    monkeypatch.setenv("PHYLONIUM_TPU_AUTO_DEVICE_GBP", "2.5")
+    assert RunConfig().auto_device_min_gbp == 2.5
+
+
+def test_config_error_is_clean_exit(tmp_path, capsys):
+    """Pipeline ConfigErrors (backend mismatch) exit 1 with a one-line
+    message, no traceback."""
+    from phylonium_tpu.cli import main
+
+    for k in range(2):
+        p = tmp_path / f"G{k}.fasta"
+        p.write_text(f">G{k}\n" + "ACGTACGTAA" * 30 + "\n")
+    rc = main(
+        [
+            "--progress=never",
+            "--esa-backend=numpy",
+            "--map-backend=native",
+            str(tmp_path / "G0.fasta"),
+            str(tmp_path / "G1.fasta"),
+        ]
+    )
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "phylonium-tpu: " in err and "native" in err

@@ -143,3 +143,16 @@ def test_native_pileup_bad_byte(rng):
     q = np.frombuffer(b"ACGTNACGT", np.uint8).copy()
     with pytest.raises(ValueError, match="unexpected byte"):
         build_pileup_native([q], [[Homology(FORWARD, 0, 0, 0, 4)]], 10)
+
+
+def test_pileup_row_validates_with_zero_homologies():
+    """The numpy oracle validates query bytes even when a genome has no
+    homologies, matching the native pass (which validates up front)."""
+    import numpy as np
+    import pytest
+
+    from phylonium_tpu.core.pileup import build_pileup_row
+
+    bad = np.frombuffer(b"ACGTZ", dtype=np.uint8)
+    with pytest.raises(ValueError, match="unexpected byte"):
+        build_pileup_row(bad, [], 10)
