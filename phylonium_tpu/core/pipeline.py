@@ -107,19 +107,45 @@ def map_queries(
         )
 
     if map_backend == "hybrid":
-        # host chain state machine + device anchor extension (stage 4)
+        # host chain state machine + device anchor extension (stage 4);
+        # a transient backend abort falls back to the bit-identical
+        # pure-host mapper instead of failing the run
         from phylonium_tpu.core.hybrid_map import hybrid_map_queries
 
-        raw = hybrid_map_queries(
-            ref,
-            threshold,
-            [queries[j].as_array() for j in todo],
-            progress=lambda d: bar.update(done_base + d),
-        )
-        for k, j in enumerate(todo):
-            hv = raw[k]
-            hv.sort(key=lambda h: h.start())
-            homologies[j] = filter_overlaps_max(hv)
+        try:
+            raw = hybrid_map_queries(
+                ref,
+                threshold,
+                [queries[j].as_array() for j in todo],
+                progress=lambda d: bar.update(done_base + d),
+            )
+        except Exception as e:
+            if not _is_transient_device_error(e):
+                raise
+            cfg.warn(
+                "transient TPU backend error in hybrid mapping "
+                f"({str(e).splitlines()[0]}); mapping on the host path "
+                "instead"
+            )
+            raw = None
+        if raw is None:
+            if ref.backend_name == "native":
+                native_out = ref._native.map_queries(
+                    [queries[j].as_array() for j in todo], threshold
+                )
+                for k, j in enumerate(todo):
+                    homologies[j] = native_out[k]
+            else:
+                for k, j in enumerate(todo):
+                    hv = anchor_homologies(ref, threshold, queries[j])
+                    hv.sort(key=lambda h: h.start())
+                    homologies[j] = filter_overlaps_max(hv)
+                    bar.update(done_base + k + 1)
+        else:
+            for k, j in enumerate(todo):
+                hv = raw[k]
+                hv.sort(key=lambda h: h.start())
+                homologies[j] = filter_overlaps_max(hv)
     elif map_backend == "native":
         # Native backend maps entire batches in C++/OpenMP; a poll
         # thread relays its atomic per-query counter to the bar.
@@ -181,6 +207,92 @@ def map_queries(
 # row-block panels (VMEM pressure independent of N)
 ROW_BLOCK_THRESHOLD = 512
 
+# transient XLA/runtime status markers: a tunnelled TPU backend can
+# abort mid-run and succeed on the very next attempt (observed live:
+# "ABORTED: TPU backend error" killed a parity run that passed clean on
+# rerun).  Anything not matching re-raises: genuine defects keep their
+# tracebacks.
+_TRANSIENT_MARKERS = (
+    "ABORTED",
+    "UNAVAILABLE",
+    "INTERNAL",
+    "DEADLINE_EXCEEDED",
+    "RESOURCE_EXHAUSTED",
+    "backend error",
+    "Socket closed",
+    "Connection reset",
+)
+
+# fault injection for tests/bench: "N" makes the next N device counting
+# calls raise a simulated transient abort (decremented per call)
+_INJECT_ENV = "PHYLONIUM_TPU_INJECT_ABORT"
+_inject_remaining: int | None = None
+
+
+def _maybe_inject_abort() -> None:
+    global _inject_remaining
+    if _inject_remaining is None:
+        raw = os.environ.get(_INJECT_ENV)
+        _inject_remaining = int(raw) if raw and raw.isdigit() else 0
+    if _inject_remaining > 0:
+        _inject_remaining -= 1
+        raise RuntimeError("ABORTED: TPU backend error (injected fault)")
+
+
+def _is_transient_device_error(e: BaseException) -> bool:
+    if not isinstance(e, (RuntimeError, OSError, ConnectionError)):
+        return False
+    msg = str(e)
+    return any(tag in msg for tag in _TRANSIENT_MARKERS)
+
+
+def _reset_device_runtime() -> None:
+    """Best-effort teardown of the jax runtime so a retry starts on a
+    fresh backend connection (compiled programs reload from the
+    persistent cache, so this costs seconds, not a recompile)."""
+    try:
+        import jax
+
+        jax.clear_caches()
+    except Exception:
+        pass
+    try:
+        from jax.extend.backend import clear_backends
+
+        clear_backends()
+    except Exception:
+        pass
+
+
+def _resilient_device_counts(device_fn, states, cfg, progress, label):
+    """Run a device counting path with transient-abort protection:
+    retry once on a reinitialized backend, then fall back to the
+    bit-identical host path.  Exit code and stdout are unaffected by a
+    flaky backend; only stderr warns.  (The reference binary has no
+    failure mode here — neither may we.)"""
+    try:
+        return device_fn()
+    except Exception as e:
+        if not _is_transient_device_error(e):
+            raise
+        cfg.warn(
+            f"transient TPU backend error in the {label} counting path "
+            f"({str(e).splitlines()[0]}); reinitializing and retrying"
+        )
+    _reset_device_runtime()
+    try:
+        return device_fn()
+    except Exception as e:
+        if not _is_transient_device_error(e):
+            raise
+        cfg.warn(
+            "device retry failed; counting on the bit-identical host "
+            "path instead"
+        )
+    from phylonium_tpu.ops.bitplane_host import pair_counts_host
+
+    return pair_counts_host(states, progress=progress)
+
 
 def _auto_prefers_host(n: int, ref_len: int, cfg: RunConfig) -> bool:
     """Small-panel fast path: with 'auto' counting, panels below the
@@ -230,6 +342,7 @@ def _mesh_device_count(cfg: RunConfig) -> int:
 def _pair_counts_device(states: np.ndarray, cfg: RunConfig, progress=None):
     """Single-device counting: fused Pallas kernel on TPU, XLA einsum
     elsewhere."""
+    _maybe_inject_abort()
     if _use_pallas(cfg):
         from phylonium_tpu.ops.pallas_match import (
             pair_counts_pallas,
@@ -256,6 +369,8 @@ def _pair_counts_mesh(states: np.ndarray, cfg: RunConfig):
 
     from phylonium_tpu.parallel.distributed import pair_counts_sharded
     from phylonium_tpu.parallel.mesh import make_mesh
+
+    _maybe_inject_abort()
 
     if cfg.mesh:
         rows, _, cols = cfg.mesh.partition(",")
@@ -370,7 +485,10 @@ def pair_counts(
     # explicit 'pallas'/'device' names the single-device path and must
     # actually run it (reproducibility/debugging)
     if (backend == "auto" or cfg.mesh) and _mesh_device_count(cfg) > 1:
-        result = _pair_counts_mesh(states, cfg)
+        result = _resilient_device_counts(
+            lambda: _pair_counts_mesh(states, cfg),
+            states, cfg, progress, "mesh",
+        )
         if progress is not None:
             # the sharded compare is one collective program; nothing
             # incremental to report, but complete the bar honestly
@@ -378,12 +496,16 @@ def pair_counts(
         return result
 
     if backend == "auto" and _use_pallas(cfg):
+        # the race already absorbs device failures (the host leg wins)
         return _race_host(
             states,
             lambda: _pair_counts_device(states, cfg, progress),
             progress,
         )
-    return _pair_counts_device(states, cfg, progress)
+    return _resilient_device_counts(
+        lambda: _pair_counts_device(states, cfg, progress),
+        states, cfg, progress, backend,
+    )
 
 
 def prewarm_counts(n: int, ref_len: int, cfg: RunConfig):
