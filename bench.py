@@ -5,13 +5,23 @@ draft assembly with contig splits and an inversion), runs the full
 pipeline, and measures the comparison phase (the reference's dominant
 O(N^2 * L) cost, src/process.cxx:524-549) on the device.
 
-Prints ONE JSON line:
+Prints ONE JSON line — ALWAYS, even when individual measurements die:
   metric       eco29_sim_compare_pairs_per_s
   value        genome pairs per second through the device counting path
   unit         pairs/s
   vs_baseline  speedup vs the host byte-compare oracle (the reference's
                SIMD-loop equivalent measured on this machine, numpy
                vectorized) on the same pileup
+
+Resilience contract (the driver records exactly one run per round, so a
+single transient 'ABORTED: TPU backend error' must never erase the
+record — it did in round 2): every fragile device microbenchmark runs in
+a SUBPROCESS with a timeout and one retry; every phase in the main
+process is guarded; whatever fails becomes a null field plus an entry in
+detail.micro_failures, and the JSON line still prints with rc 0.
+
+Fault injection for tests: PHYLONIUM_TPU_BENCH_INJECT=name1,name2 makes
+those microbenchmark subprocesses raise a simulated abort.
 """
 
 from __future__ import annotations
@@ -25,6 +35,16 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 ORACLE = os.path.join(REPO, "tests", "oracle", "bin", "phylonium")
+
+
+def _apply_platform_override() -> None:
+    """Honor PHYLONIUM_TPU_PLATFORM (the axon plugin wins over a plain
+    JAX_PLATFORMS env var, so the config API must be used)."""
+    platform = os.environ.get("PHYLONIUM_TPU_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
 
 
 def prewarm_shape(n: int, length: int) -> None:
@@ -41,6 +61,25 @@ def prewarm_shape(n: int, length: int) -> None:
         pass
 
 
+# ---------------------------------------------------------------------------
+# end-to-end vs the reference binary (subprocesses; inherently isolated)
+
+
+def ensure_oracle() -> bool:
+    if os.path.exists(ORACLE):
+        return True
+    import subprocess
+
+    script = os.path.join(REPO, "tests", "oracle", "build_oracle.sh")
+    try:
+        subprocess.run(
+            ["sh", script], capture_output=True, timeout=180, check=True
+        )
+    except Exception:
+        return False
+    return os.path.exists(ORACLE)
+
+
 def end_to_end_vs_reference(genomes, timeout_s: int = 300) -> dict:
     """Wall-clock both CLIs on identical FASTA files; byte-compare output.
 
@@ -51,15 +90,8 @@ def end_to_end_vs_reference(genomes, timeout_s: int = 300) -> dict:
     import subprocess
     import tempfile
 
-    if not os.path.exists(ORACLE):
-        script = os.path.join(REPO, "tests", "oracle", "build_oracle.sh")
-        try:
-            subprocess.run(
-                ["sh", script], capture_output=True, timeout=180,
-                check=True,
-            )
-        except Exception:
-            return {}
+    if not ensure_oracle():
+        return {}
     tmp = tempfile.mkdtemp(prefix="phylonium_bench_")
     try:
         files = []
@@ -110,6 +142,84 @@ def end_to_end_vs_reference(genomes, timeout_s: int = 300) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def e2e_tier(genomes, runs: int, timeout_s: int) -> dict:
+    """Run the e2e pair `runs` times; report every sample (host CPU and
+    tunnel swing ~10x between runs here — single numbers lie) plus the
+    min-based speedup, byte-identity AND-ed over all runs."""
+    samples = []
+    for _ in range(runs):
+        r = end_to_end_vs_reference(genomes, timeout_s)
+        if r:
+            samples.append(r)
+    if not samples:
+        return {}
+    best = min(s["e2e_tpu_s"] for s in samples)
+    ref_best = min(s["e2e_ref_s"] for s in samples)
+    return {
+        "e2e_ref_s": ref_best,
+        "e2e_tpu_s": best,
+        "e2e_speedup": round(ref_best / best, 3),
+        "e2e_identical": all(s["e2e_identical"] for s in samples),
+        "e2e_tpu_runs": [s["e2e_tpu_s"] for s in samples],
+        "e2e_ref_runs": [s["e2e_ref_s"] for s in samples],
+    }
+
+
+def forced_device_parity() -> bool | None:
+    """Full CLI with --count-backend pallas on a small panel, byte-
+    compared against the reference binary — the forced-device golden
+    check the opt-in real-TPU suite runs, executed on every bench run
+    (VERDICT r2: the one time it ran, it caught a real failure)."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    if not ensure_oracle():
+        return None
+    rng = np.random.default_rng(17)
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    base = rng.choice(acgt, 60_000)
+    tmp = tempfile.mkdtemp(prefix="phylonium_parity_")
+    try:
+        files = []
+        for k in range(3):
+            arr = base.copy()
+            idx = rng.random(arr.size) < 0.02 * (k + 1)
+            shift = rng.integers(1, 4, int(idx.sum()))
+            code = np.searchsorted(acgt, arr[idx])  # acgt sorted: A<C<G<T
+            arr[idx] = acgt[(code + shift) % 4]
+            path = os.path.join(tmp, f"P{k}.fasta")
+            with open(path, "wb") as f:
+                f.write(b">P%d\n" % k + arr.tobytes() + b"\n")
+            files.append(path)
+        r_ref = subprocess.run(
+            [ORACLE, *files], capture_output=True, timeout=120, cwd=tmp
+        )
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
+        r_tpu = subprocess.run(
+            [
+                sys.executable, "-m", "phylonium_tpu",
+                "--progress=never", "--count-backend=pallas", *files,
+            ],
+            capture_output=True, timeout=300, cwd=tmp, env=env,
+        )
+        if r_ref.returncode or r_tpu.returncode:
+            sys.stderr.write(
+                f"forced-device parity: ref rc={r_ref.returncode} "
+                f"tpu rc={r_tpu.returncode} "
+                f"stderr={r_tpu.stderr[-300:]!r}\n"
+            )
+            return False
+        return r_ref.stdout == r_tpu.stdout
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# panel simulation
+
+
 def simulate_panel(n=29, length=5_000_000, seed=29):
     rng = np.random.default_rng(seed)
     acgt = np.frombuffer(b"ACGT", np.uint8)
@@ -144,51 +254,84 @@ def simulate_panel(n=29, length=5_000_000, seed=29):
     return genomes
 
 
-def measure_cross_512(length: int) -> float:
-    """Tbp/s of pair work through the rectangular kernel at 512-row
-    panels — the row-blocked path's unit of work, where one-hot-plane
-    reuse is quadratic (~74% of peak MXU measured; ARCHITECTURE.md)."""
+# ---------------------------------------------------------------------------
+# fragile device microbenchmarks — each runs in a SUBPROCESS via
+# `python bench.py --micro NAME key=value...` and prints one JSON dict
+
+
+def _micro_inject(name: str) -> None:
+    targets = os.environ.get("PHYLONIUM_TPU_BENCH_INJECT", "")
+    if name in [t.strip() for t in targets.split(",") if t.strip()]:
+        raise RuntimeError("ABORTED: TPU backend error (injected fault)")
+
+
+def micro_steady(args: dict) -> dict:
+    """Steady-state kernel timing: a serialized fori_loop chain (each
+    iteration's input depends on the previous result) inside one jit.
+    Naive re-dispatch timing over the remote-device tunnel reports
+    impossible numbers (async dispatch); a dependency chain cannot lie."""
+    _micro_inject("steady")
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     from phylonium_tpu.ops.pallas_match import (
-        blocked_call_shape,
-        cross_counts_pallas,
-        pack_states,
+        _pad_rows,
+        _pallas_counts,
+        default_block_cols,
     )
+    from phylonium_tpu.utils.cache import enable_compile_cache
 
-    rng = np.random.default_rng(0)
-    n = 512
-    states = rng.integers(0, 11, size=(n, length), dtype=np.uint8)
-    rb_pad, block, cols = blocked_call_shape(1000, length)
-    packed = jnp.asarray(pack_states(states, rb_pad, cols))
-    reps = 8
+    enable_compile_cache()
+    states = np.load(args["npy"], mmap_mode="r")
+    n, length = states.shape
+    use_pallas = jax.devices()[0].platform == "tpu"
+    n_pad = _pad_rows(n)
+    block = default_block_cols(n_pad)
+    lpad = (-length) % block
+    padded = jnp.asarray(
+        np.pad(
+            states,
+            ((0, n_pad - n), (0, lpad)),
+            constant_values=10,
+        )
+    )
+    jax.block_until_ready(padded)
+    reps = 10
 
-    def chained(a):
+    def chained(states):
         def body(i, carry):
             acc, s = carry
             s = lax.dynamic_update_slice(
                 s, (acc[:1, :1] % 11).astype(jnp.uint8), (0, 0)
             )
-            m, h = cross_counts_pallas(s, s, block, packed=True)
+            if use_pallas:
+                m = _pallas_counts(s, block)[0].astype(jnp.int32)
+            else:
+                from phylonium_tpu.ops.match_matrix import (
+                    _pair_counts_scanned,
+                )
+
+                m, h = _pair_counts_scanned(s, block)
             return (acc + m, s)
 
-        z = jnp.zeros((rb_pad, rb_pad), jnp.int32)
-        return lax.fori_loop(0, reps, body, (z, a))[0]
+        acc0 = jnp.zeros((states.shape[0], states.shape[0]), jnp.int32)
+        out, _ = lax.fori_loop(0, reps, body, (acc0, states))
+        return out
 
-    cj = jax.jit(chained)
-    np.asarray(cj(packed))  # warm/compile
-    best = 1e9
-    for _ in range(2):
+    chained_jit = jax.jit(chained)
+    np.asarray(chained_jit(padded))  # warm/compile
+    samples = []
+    for _ in range(int(args.get("k", 3))):
         t0 = time.time()
-        np.asarray(cj(packed))
-        best = min(best, time.time() - t0)
-    return n * n * length / (best / reps) / 1e12
+        np.asarray(chained_jit(padded))
+        samples.append((time.time() - t0) / reps)
+    return {"steady_samples": samples}
 
 
-def measure_anchor_extend(genome: bytes, length: int) -> float:
+def micro_anchor_extend(args: dict) -> dict:
     """Chained on-device throughput of the Pallas extension kernel."""
+    _micro_inject("anchor_extend")
     import jax
     import jax.numpy as jnp
 
@@ -197,6 +340,14 @@ def measure_anchor_extend(genome: bytes, length: int) -> float:
         _diagonal_neq_pallas,
         pad_text2,
     )
+    from phylonium_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+    if jax.devices()[0].platform != "tpu":
+        return {"anchor_extend_gbp_s": 0.0}
+    with open(args["genome"], "rb") as f:
+        genome = f.read()
+    length = int(args["length"])
 
     ext_tile = 8192
     s_text = np.frombuffer(
@@ -230,151 +381,269 @@ def measure_anchor_extend(genome: bytes, length: int) -> float:
     t0 = time.time()
     int(ext_jit(jnp.asarray(ext_off)))
     t_ext = time.time() - t0
-    return ext_reps * n_jobs * ext_len / t_ext / 1e9
+    return {
+        "anchor_extend_gbp_s": ext_reps * n_jobs * ext_len / t_ext / 1e9
+    }
 
 
-def main():
+def micro_cross512(args: dict) -> dict:
+    """Tbp/s of pair work through the rectangular kernel at 512-row
+    panels — the row-blocked path's unit of work, where one-hot-plane
+    reuse is quadratic (~74% of peak MXU measured; ARCHITECTURE.md)."""
+    _micro_inject("cross512")
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from phylonium_tpu.ops.pallas_match import (
+        blocked_call_shape,
+        cross_counts_pallas,
+        pack_states,
+    )
+    from phylonium_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+    if jax.devices()[0].platform != "tpu":
+        return {"cross512_tbp_s": 0.0}
+    length = int(args["length"])
+    rng = np.random.default_rng(0)
+    n = 512
+    states = rng.integers(0, 11, size=(n, length), dtype=np.uint8)
+    rb_pad, block, cols = blocked_call_shape(1000, length)
+    packed = jnp.asarray(pack_states(states, rb_pad, cols))
+    reps = 8
+
+    def chained(a):
+        def body(i, carry):
+            acc, s = carry
+            s = lax.dynamic_update_slice(
+                s, (acc[:1, :1] % 11).astype(jnp.uint8), (0, 0)
+            )
+            m, h = cross_counts_pallas(s, s, block, packed=True)
+            return (acc + m, s)
+
+        z = jnp.zeros((rb_pad, rb_pad), jnp.int32)
+        return lax.fori_loop(0, reps, body, (z, a))[0]
+
+    cj = jax.jit(chained)
+    np.asarray(cj(packed))  # warm/compile
+    best = 1e9
+    for _ in range(2):
+        t0 = time.time()
+        np.asarray(cj(packed))
+        best = min(best, time.time() - t0)
+    return {"cross512_tbp_s": n * n * length / (best / reps) / 1e12}
+
+
+_MICROS = {
+    "steady": micro_steady,
+    "anchor_extend": micro_anchor_extend,
+    "cross512": micro_cross512,
+}
+
+
+def _micro_main(name: str, argv: list[str]) -> int:
+    _apply_platform_override()
+    args = dict(kv.split("=", 1) for kv in argv)
+    out = _MICROS[name](args)
+    print(json.dumps(out))
+    return 0
+
+
+def run_micro(
+    name: str,
+    args: dict,
+    failures: dict,
+    timeout_s: int = 600,
+    retries: int = 1,
+) -> dict:
+    """Run a microbenchmark in a subprocess; a transient TPU abort (or
+    hang) can only null this one measurement, never kill the bench.
+    Retries once so a single flaky window doesn't erase the field."""
+    import subprocess
+
+    cmd = [
+        sys.executable, os.path.abspath(__file__), "--micro", name,
+        *(f"{k}={v}" for k, v in args.items()),
+    ]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
+    last_err = ""
+    for _attempt in range(retries + 1):
+        try:
+            r = subprocess.run(
+                cmd, capture_output=True, timeout=timeout_s, env=env,
+                text=True,
+            )
+            if r.returncode == 0:
+                for line in reversed(r.stdout.strip().splitlines()):
+                    line = line.strip()
+                    if line.startswith("{"):
+                        return json.loads(line)
+                last_err = "no JSON in output"
+            else:
+                last_err = (r.stderr or r.stdout or "")[-300:]
+        except subprocess.TimeoutExpired:
+            last_err = f"timeout after {timeout_s}s"
+        except Exception as e:  # noqa: BLE001 — resilience boundary
+            last_err = repr(e)
+    failures[name] = last_err
+    sys.stderr.write(f"micro '{name}' failed: {last_err}\n")
+    return {}
+
+
+# ---------------------------------------------------------------------------
+
+
+def guard(label: str, fn, failures: dict, default=None):
+    """Best-effort phase: a failure becomes a recorded null, not a dead
+    bench run."""
+    try:
+        return fn()
+    except Exception as e:  # noqa: BLE001 — resilience boundary
+        failures[label] = repr(e)[:300]
+        sys.stderr.write(f"phase '{label}' failed: {e!r}\n")
+        return default
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 29
+    length = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000_000
+
+    failures: dict[str, str] = {}
+    detail: dict = {"n_genomes": n, "genome_length": length}
+    pairs = n * (n - 1) // 2
+    value = 0.0
+    vs_baseline = 0.0
+
+    try:
+        detail, value, vs_baseline = _run_bench(
+            n, length, detail, failures
+        )
+    except Exception as e:  # noqa: BLE001 — the JSON line must print
+        failures["bench"] = repr(e)[:500]
+        sys.stderr.write(f"bench top-level failure: {e!r}\n")
+
+    if failures:
+        detail["micro_failures"] = failures
+    print(
+        json.dumps(
+            {
+                "metric": "eco29_sim_compare_pairs_per_s",
+                "value": round(value, 3),
+                "unit": "pairs/s",
+                "vs_baseline": round(vs_baseline, 2),
+                "detail": detail,
+            }
+        )
+    )
+    return 0
+
+
+def _run_bench(n, length, detail, failures):
+    import tempfile
+
+    _apply_platform_override()
     from phylonium_tpu.config import RunConfig
     from phylonium_tpu.core.anchor_stats import min_anchor_length
     from phylonium_tpu.core.pileup import build_pileup
     from phylonium_tpu.core.pipeline import map_queries
     from phylonium_tpu.data.sequence import Sequence, gc_content
     from phylonium_tpu.index.esa import ESAIndex
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 29
-    length = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000_000
 
     t0 = time.time()
     genomes = simulate_panel(n, length)
     queries = [Sequence(f"S{k}", g) for k, g in enumerate(genomes)]
-    t_sim = time.time() - t0
+    detail["t_simulate"] = round(time.time() - t0, 3)
 
     cfg = RunConfig(progress="never")
 
     t0 = time.time()
     ref = ESAIndex(queries[0])
-    t_index = time.time() - t0
+    detail["t_index"] = round(time.time() - t0, 3)
 
-    threshold = min_anchor_length(0.025, gc_content(queries[0].nucl), ref.size)
+    threshold = min_anchor_length(
+        0.025, gc_content(queries[0].nucl), ref.size
+    )
 
     t0 = time.time()
     homologies = map_queries(ref, threshold, queries, cfg)
     t_map = time.time() - t0
+    detail["t_map"] = round(t_map, 3)
+    detail["map_gbp_per_s"] = round(n * length / t_map / 1e9, 3)
 
     t0 = time.time()
     arrays = [q.as_array() for q in queries]
     states = build_pileup(arrays, homologies, len(queries[0]))
-    t_pileup = time.time() - t0
+    detail["t_pileup"] = round(time.time() - t0, 3)
 
-    # transfer once (as the real pipeline does), then time pure device work
     import jax
-    import jax.numpy as jnp
 
-    from phylonium_tpu.core.pipeline import pair_counts, prewarm_counts
-    from phylonium_tpu.ops.pallas_match import _pad_rows, _pallas_counts
+    from phylonium_tpu.core.pipeline import (
+        _auto_prefers_host,
+        pair_counts,
+        prewarm_counts,
+    )
     from phylonium_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
 
     # backend/tunnel init is a once-per-process constant — time it apart
-    # from the data transfer so neither is misattributed
+    # from everything else so it is never misattributed
     t0 = time.time()
-    jax.devices()
-    t_backend_init = time.time() - t0
-
-    t0 = time.time()
-    states_dev = jax.device_put(states)
-    jax.block_until_ready(states_dev)
-    t_transfer = time.time() - t0
-
-    use_pallas = jax.devices()[0].platform == "tpu"
+    platform = guard(
+        "backend_init", lambda: jax.devices()[0].platform, failures
+    )
+    detail["t_backend_init"] = round(time.time() - t0, 3)
+    detail["platform"] = platform
+    use_pallas = platform == "tpu"
+    detail["kernel"] = "pallas" if use_pallas else "xla"
 
     # First compare through the PRODUCTION dispatch, exactly what the
-    # CLI runs: small panels count on the host AVX2 path outright (the
-    # device's fixed costs exceed its savings below the work threshold);
-    # large panels race the packed Pallas kernel against the host, so a
-    # cold compile cache never blocks either way.
-    from phylonium_tpu.core.pipeline import _auto_prefers_host
-
-    compare_dispatch = (
+    # CLI runs (work-based host/device dispatch, transient-abort
+    # resilient since round 3).
+    detail["compare_dispatch"] = (
         "host" if _auto_prefers_host(n, length, cfg) else "device"
     )
     prewarm_counts(n, length, cfg)
     t0 = time.time()
     subs, homs = pair_counts(states, cfg)
     t_compare_first = time.time() - t0
-
-    # Steady-state kernel timing: a serialized fori_loop chain (each
-    # iteration's input depends on the previous result) inside one jit.
-    # Naive re-dispatch timing over the remote-device tunnel reports
-    # impossible numbers (async dispatch); a dependency chain cannot lie.
-    from phylonium_tpu.ops.pallas_match import default_block_cols
-    from jax import lax
-
-    n_pad = _pad_rows(n)
-    block = default_block_cols(n_pad)
-    lpad = (-length) % block
-    padded = jnp.pad(
-        states_dev,
-        ((0, n_pad - n), (0, lpad)),
-        constant_values=10,
+    detail["t_compare_first_incl_conv"] = round(t_compare_first, 4)
+    detail["mean_offdiag_coverage"] = round(
+        float(homs[np.triu_indices(n, 1)].mean()) / length, 4
     )
-    jax.block_until_ready(padded)
-    reps = 10
 
-    def chained(states):
-        def body(i, carry):
-            acc, s = carry
-            s = lax.dynamic_update_slice(
-                s, (acc[:1, :1] % 11).astype(jnp.uint8), (0, 0)
-            )
-            if use_pallas:
-                m = _pallas_counts(s, block)[0].astype(jnp.int32)
-            else:
-                from phylonium_tpu.ops.match_matrix import (
-                    _pair_counts_scanned,
-                )
+    # stage inputs for the subprocess microbenches
+    tmp = tempfile.mkdtemp(prefix="phylonium_micro_")
+    npy = os.path.join(tmp, "states.npy")
+    g0 = os.path.join(tmp, "g0.bin")
+    np.save(npy, states)
+    with open(g0, "wb") as f:
+        f.write(genomes[0])
 
-                m, h = _pair_counts_scanned(s, block)
-            return (acc + m, s)
-
-        acc0 = jnp.zeros((states.shape[0], states.shape[0]), jnp.int32)
-        out, _ = lax.fori_loop(0, reps, body, (acc0, states))
-        return out
-
-    chained_jit = jax.jit(chained)
-    np.asarray(chained_jit(padded))  # warm/compile
+    pairs = n * (n - 1) // 2
 
     # host + tunnel swing ~10x and degraded windows last minutes, so a
     # single burst of samples can land entirely inside one; sample now
     # AND again at the very end of the bench (after the minutes-long
     # e2e runs) and take the overall min — each sample is a 10-deep
     # on-device dependency chain that async dispatch cannot fake
-    def sample_steady(k=3):
-        out = []
-        for _ in range(k):
-            t0 = time.time()
-            np.asarray(chained_jit(padded))
-            out.append((time.time() - t0) / reps)
-        return out
-
-    steady_samples = sample_steady()
-    pairs = n * (n - 1) // 2
-
-    # anchor-extend device throughput (north-star metric): the Pallas
-    # diagonal-mismatch kernel over the index text — the TPU
-    # replacement for the reference's scalar extension loops
-    # (src/esa.cxx:457-469, src/process.cxx:171-184)
-    anchor_extend_gbp_s = (
-        measure_anchor_extend(genomes[0], length) if use_pallas else 0.0
+    steady_samples = list(
+        run_micro(
+            "steady", {"npy": npy}, failures, timeout_s=600
+        ).get("steady_samples", [])
     )
 
-    cross512_tbp_s = 0.0
-    if use_pallas:
-        try:
-            cross512_tbp_s = measure_cross_512(length)
-        except Exception:
-            pass  # best-effort secondary metric
-
+    detail["anchor_extend_gbp_s"] = run_micro(
+        "anchor_extend",
+        {"genome": g0, "length": length},
+        failures,
+        timeout_s=600,
+    ).get("anchor_extend_gbp_s")
+    detail["cross512_tbp_s"] = run_micro(
+        "cross512", {"length": length}, failures, timeout_s=600
+    ).get("cross512_tbp_s")
 
     # host oracle baseline: the reference-style byte loop on a sample of
     # column range, extrapolated (numpy-vectorized stand-in for seqcmp)
@@ -397,83 +666,70 @@ def main():
             break
     t_host_sample = time.time() - t0
     host_pairs_per_s = done / (t_host_sample * (length / sample_cols))
+    detail["host_oracle_pairs_per_s"] = round(host_pairs_per_s, 3)
+
+    # forced-device golden parity: full CLI with --count-backend pallas
+    # byte-compared against the reference binary (TPU only)
+    if use_pallas:
+        detail["forced_device_parity"] = guard(
+            "forced_device_parity", forced_device_parity, failures
+        )
 
     # optional end-to-end comparison vs the reference binary on the
     # same panel (same machine, same files, byte-compared matrices);
     # a second, larger panel shows the O(N^2) comparison-phase scaling
-    e2e = {}
     if os.environ.get("PHYLONIUM_TPU_BENCH_E2E", "1") != "0":
-        # host CPU and tunnel swing ~10x between runs on this
-        # environment; min-of-3 sheds degraded phases
-        runs = [end_to_end_vs_reference(genomes) for _ in range(3)]
-        runs = [r for r in runs if r]
-        if runs:
-            e2e = min(runs, key=lambda r: r["e2e_tpu_s"])
-            e2e["e2e_ref_s"] = min(r["e2e_ref_s"] for r in runs)
-            e2e["e2e_speedup"] = round(
-                e2e["e2e_ref_s"] / e2e["e2e_tpu_s"], 3
-            )
-            e2e["e2e_identical"] = all(r["e2e_identical"] for r in runs)
-            # run 1 is the deployed cold start (local compile cache may
-            # be empty; the adaptive backend keeps it fast regardless)
-            e2e["e2e_tpu_runs"] = [r["e2e_tpu_s"] for r in runs]
-        # 4x panel: the reference's comparison phase is O(N^2 * L) on
-        # host; this is where the device path's scaling shows
-        large_n = 4 * n
-        prewarm_shape(large_n, length)  # subprocess then hits the cache
-        large = end_to_end_vs_reference(
-            simulate_panel(large_n, length, seed=61), timeout_s=560
+        tier1 = guard(
+            "e2e", lambda: e2e_tier(genomes, runs=3, timeout_s=300),
+            failures, {},
         )
-        e2e.update(
-            {k.replace("e2e", f"e2e_n{large_n}"): v for k, v in large.items()}
+        detail.update(tier1)
+        large_n = 4 * n
+        detail[f"e2e_n{large_n}_dispatch"] = (
+            "host" if _auto_prefers_host(large_n, length, cfg) else "device"
+        )
+        prewarm_shape(large_n, length)  # subprocess then hits the cache
+        tier2 = guard(
+            "e2e_large",
+            lambda: e2e_tier(
+                simulate_panel(large_n, length, seed=61),
+                runs=2,
+                timeout_s=560,
+            ),
+            failures, {},
+        )
+        detail.update(
+            {k.replace("e2e", f"e2e_n{large_n}"): v for k, v in tier2.items()}
         )
 
     # second steady-state burst, minutes after the first (see above)
-    steady_samples += sample_steady()
-    t_compare = min(steady_samples)
-    pairs_per_s = pairs / t_compare
-    vs_baseline = (
-        pairs_per_s / host_pairs_per_s if host_pairs_per_s else 0.0
+    steady_samples += list(
+        run_micro(
+            "steady", {"npy": npy}, failures, timeout_s=600, retries=0
+        ).get("steady_samples", [])
     )
 
-    gbp = pairs * length / 1e9
-    map_gbp_per_s = n * length / t_map / 1e9  # anchor-extend throughput
-    detail = {
-        "n_genomes": n,
-        "genome_length": length,
-        "t_simulate": round(t_sim, 3),
-        "t_index": round(t_index, 3),
-        "t_map": round(t_map, 3),
-        "map_gbp_per_s": round(map_gbp_per_s, 3),
-        "t_pileup": round(t_pileup, 3),
-        "t_backend_init": round(t_backend_init, 3),
-        "t_transfer": round(t_transfer, 4),
-        "t_compare_first_incl_conv": round(t_compare_first, 4),
-        "compare_dispatch": compare_dispatch,
-        "t_compare_device": round(t_compare, 4),
-        "kernel": "pallas" if use_pallas else "xla",
-        "compare_gbp_per_s": round(gbp / t_compare, 2),
-        "cross512_tbp_s": round(cross512_tbp_s, 2),
-        "anchor_extend_gbp_s": round(anchor_extend_gbp_s, 2),
-        "host_oracle_pairs_per_s": round(host_pairs_per_s, 3),
-        "platform": jax.devices()[0].platform,
-        "mean_offdiag_coverage": round(
-            float(homs[np.triu_indices(n, 1)].mean()) / length, 4
-        ),
-        **e2e,
-    }
-    print(
-        json.dumps(
-            {
-                "metric": "eco29_sim_compare_pairs_per_s",
-                "value": round(pairs_per_s, 3),
-                "unit": "pairs/s",
-                "vs_baseline": round(vs_baseline, 2),
-                "detail": detail,
-            }
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    if steady_samples:
+        t_compare = min(steady_samples)
+        detail["t_compare_device"] = round(t_compare, 4)
+        detail["compare_gbp_per_s"] = round(
+            pairs * length / 1e9 / t_compare, 2
         )
-    )
+        value = pairs / t_compare
+    else:
+        # degraded but honest: the production dispatch's first-compare
+        # wall clock (includes conversions) stands in for the kernel
+        detail["value_source"] = "t_compare_first (steady micro failed)"
+        value = pairs / t_compare_first
+    vs_baseline = value / host_pairs_per_s if host_pairs_per_s else 0.0
+    return detail, value, vs_baseline
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--micro":
+        sys.exit(_micro_main(sys.argv[2], sys.argv[3:]))
+    sys.exit(main())

@@ -1,0 +1,39 @@
+"""bench.py must print its one JSON line even when every fragile device
+microbenchmark dies (round 2's official record was erased by a single
+transient 'ABORTED: TPU backend error' in an unguarded microbench)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_survives_injected_micro_aborts():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
+    env["PHYLONIUM_TPU_PLATFORM"] = "cpu"
+    env["PHYLONIUM_TPU_BENCH_E2E"] = "0"
+    env["PHYLONIUM_TPU_BENCH_INJECT"] = "steady,anchor_extend,cross512"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "6", "8192"],
+        capture_output=True, timeout=300, env=env, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-1000:]
+    lines = [
+        ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")
+    ]
+    assert lines, r.stdout
+    parsed = json.loads(lines[-1])
+    assert parsed["metric"] == "eco29_sim_compare_pairs_per_s"
+    assert parsed["unit"] == "pairs/s"
+    # primary metric survives via the production-dispatch fallback
+    assert parsed["value"] > 0
+    detail = parsed["detail"]
+    assert "steady" in detail["micro_failures"]
+    assert detail["value_source"].startswith("t_compare_first")
+    # the pipeline phases themselves ran
+    assert detail["t_map"] > 0
