@@ -561,6 +561,45 @@ def prewarm_counts(n: int, ref_len: int, cfg: RunConfig):
     return t
 
 
+def _should_stream(n: int, ref_len: int, cfg: RunConfig, ref) -> bool:
+    """Streamed map→pileup→transfer overlap (core/stream.py) applies to
+    the plain 'auto' single-device production path on panels the
+    work-based dispatch sends to the device.  Paths that need the whole
+    homology set before the pileup (complete deletion, '-p'), explicit
+    backends (which name exact code paths), checkpointing, meshes, and
+    multi-process runs keep the serial phases.
+
+    PHYLONIUM_TPU_STREAM=0 disables; =force enables regardless of
+    platform/threshold (tests run the full streamed pipeline on CPU in
+    kernel-interpret mode this way).
+    """
+    env = os.environ.get("PHYLONIUM_TPU_STREAM", "")
+    if env == "0":
+        return False
+    if cfg.count_backend != "auto" or cfg.mesh:
+        return False
+    if cfg.complete_deletion or cfg.print_positions or cfg.checkpoint_dir:
+        return False
+    if cfg.map_backend not in ("auto", "native"):
+        return False
+    if ref.backend_name != "native":
+        return False
+    try:
+        from jax._src import distributed
+
+        if (distributed.global_state.num_processes or 1) > 1:
+            return False
+    except Exception:
+        pass
+    if env == "force":
+        return True
+    if _auto_prefers_host(n, ref_len, cfg):
+        return False
+    if _mesh_device_count(cfg) > 1:
+        return False
+    return _use_pallas(cfg)
+
+
 def process(
     subject: Sequence, queries: list[Sequence], cfg: RunConfig
 ) -> EvoCounts:
@@ -581,6 +620,32 @@ def process(
 
     if cfg.verbose:
         print(f"ref: {subject.name}", file=sys.stderr)
+
+    feeder = None
+    if _should_stream(n, len(subject), cfg, ref):
+        from phylonium_tpu.core.stream import (
+            DeviceRowFeeder,
+            map_pileup_streamed,
+        )
+
+        try:
+            import jax
+
+            interpret = jax.devices()[0].platform != "tpu"
+            feeder = DeviceRowFeeder(n, len(subject), interpret=interpret)
+        except Exception:
+            feeder = None  # feeder construction is best-effort
+
+    if feeder is not None:
+        t0 = time.time()
+        homologies, states = map_pileup_streamed(
+            ref, threshold, queries, cfg, feeder
+        )
+        timings["map+pileup+feed"] = time.time() - t0
+        return _compare_and_finish(
+            subject, queries, cfg, ref, states, homologies, timings,
+            feeder,
+        )
 
     t0 = time.time()
     homologies = map_queries(ref, threshold, queries, cfg)
@@ -614,21 +679,38 @@ def process(
             cfg.refpos_file_name, subject.nucl, states, homologies[0]
         )
 
+    return _compare_and_finish(
+        subject, queries, cfg, ref, states, homologies, timings, None
+    )
+
+
+def _compare_and_finish(
+    subject, queries, cfg, ref, states, homologies, timings, feeder
+) -> EvoCounts:
+    """Shared compare phase: the production dispatch, or — when the
+    streamed pipeline already shipped the panel — the resident-device
+    count raced against the host (so a degraded tunnel still finishes
+    at host speed, bit-identically)."""
+    import time
+
     from phylonium_tpu.utils.progress import ProgressBar
 
+    n = len(queries)
     num_comparisons = (n * n - n) // 2
     bar = ProgressBar(
         "Comparing the sequences",
         num_comparisons,
         enabled=cfg.progress_enabled,
     )
+    progress = lambda frac: bar.update(int(frac * num_comparisons))  # noqa: E731
 
     t0 = time.time()
-    subs, homs = pair_counts(
-        states,
-        cfg,
-        progress=lambda frac: bar.update(int(frac * num_comparisons)),
-    )
+    if feeder is not None:
+        subs, homs = _race_host(
+            states, lambda: feeder.finish(progress), progress
+        )
+    else:
+        subs, homs = pair_counts(states, cfg, progress=progress)
     timings["compare"] = time.time() - t0
     bar.finish()
 

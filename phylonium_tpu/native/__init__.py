@@ -187,9 +187,14 @@ def build_pileup_native(
     queries: list[np.ndarray],
     homologies: list,
     ref_len: int,
+    out: np.ndarray | None = None,
 ) -> np.ndarray:
     """Fill the [N, ref_len] state matrix in one native pass (OpenMP
-    over genomes); layout contract in core/pileup.py."""
+    over genomes); layout contract in core/pileup.py.
+
+    ``out`` (optional) writes into a caller-provided C-contiguous
+    [N, ref_len] uint8 buffer — the streaming pipeline builds row
+    groups directly into one big matrix this way."""
     lib = get_lib()
     n = len(queries)
     queries = [np.ascontiguousarray(q, dtype=np.uint8) for q in queries]
@@ -209,9 +214,16 @@ def build_pileup_native(
                 h.length,
             )
             w += 1
-    from phylonium_tpu.utils.bigalloc import empty as big_empty
+    if out is None:
+        from phylonium_tpu.utils.bigalloc import empty as big_empty
 
-    out = big_empty((n, ref_len), np.uint8)
+        out = big_empty((n, ref_len), np.uint8)
+    else:
+        assert (
+            out.shape == (n, ref_len)
+            and out.dtype == np.uint8
+            and out.flags.c_contiguous
+        ), (out.shape, out.dtype)
     bad = np.zeros(1, dtype=np.int64)
     rc = lib.phy_build_pileup(
         qptrs,

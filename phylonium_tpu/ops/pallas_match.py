@@ -379,7 +379,11 @@ def pack_states(
 
 
 def pair_counts_pallas(
-    states, block: int | None = None, interpret: bool = False
+    states,
+    block: int | None = None,
+    interpret: bool = False,
+    packed: bool | None = None,
+    n_rows: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """All-pairs (substitutions, homologs) via the fused kernel.
 
@@ -387,12 +391,26 @@ def pair_counts_pallas(
     path (4-bit split-layout, half the transfer and HBM traffic); device
     input streams unpacked.  Exact int64 results for any L (host-side
     chunking keeps f32 accumulators exact).
+
+    ``packed=True`` with a device-array input marks it as ALREADY in the
+    split-nibble layout (row-padded, width bucketed — the streaming
+    feeder ships rows this way while mapping still runs); ``n_rows``
+    then gives the logical genome count.
     """
     n, length = states.shape
-    n_pad = _pad_rows(n)
+    pre_packed = packed is True and not isinstance(states, np.ndarray)
+    if pre_packed:
+        n = n_rows if n_rows is not None else n
+        n_pad = states.shape[0]
+        if block is None:
+            block = max(128, default_block_cols(n_pad) // 2)
+    else:
+        n_pad = _pad_rows(n)
 
-    packed = isinstance(states, np.ndarray)
-    if packed:
+    packed = True if pre_packed else isinstance(states, np.ndarray)
+    if pre_packed:
+        cap = _MAX_COLS_PER_CALL // 2
+    elif packed:
         cap = _MAX_COLS_PER_CALL // 2
         l2 = -(-max(states.shape[1], 1) // 2)
         if block is None:
@@ -449,6 +467,8 @@ def pair_counts_pallas_blocked(
     block: int | None = None,
     interpret: bool = False,
     progress=None,
+    packed: bool | None = None,
+    n_rows: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Row-blocked variant for very large N on a single chip.
 
@@ -456,33 +476,87 @@ def pair_counts_pallas_blocked(
     computes only the upper triangle with the rectangular kernel, keeping
     VMEM pressure independent of N.  Bit-identical to the flat path.
     ``progress`` receives the dispatched panel fraction.
+
+    ``packed=True`` with a device-array input marks it as already in the
+    split-nibble layout (see :func:`pair_counts_pallas`); ``n_rows``
+    then gives the logical genome count (the array may carry padding
+    rows beyond it).
     """
-    n, length = states.shape
+    pre_packed = packed is True and not isinstance(states, np.ndarray)
+    n = (
+        n_rows
+        if pre_packed and n_rows is not None
+        else states.shape[0]
+    )
+    length = states.shape[1]
     if n <= row_block:
-        return pair_counts_pallas(states, block=block, interpret=interpret)
+        return pair_counts_pallas(
+            states, block=block, interpret=interpret,
+            packed=True if pre_packed else None, n_rows=n,
+        )
 
     rb_pad = _pad_rows(row_block)
-
-    packed = isinstance(states, np.ndarray)
-    if packed:
+    if pre_packed:
         if block is None:
-            _, block, _ = blocked_call_shape(n, length, row_block)
-        states = jnp.asarray(pack_states(states, n))
+            block = max(128, default_block_cols(2 * rb_pad) // 2)
         cap = _MAX_COLS_PER_CALL // 2
         fill = _PACKED_PAD
+        packed = True
+    elif isinstance(states, np.ndarray):
+        if block is None:
+            _, block, _ = blocked_call_shape(n, length, row_block)
+        cap = _MAX_COLS_PER_CALL // 2
+        l2 = -(-max(length, 1) // 2)
+        # bucket the width on the host: the device-side composition
+        # then needs zero per-panel padding ops
+        width = bucket_cols(l2, block) if l2 <= cap else l2
+        states = jnp.asarray(pack_states(states, n, width))
+        fill = _PACKED_PAD
+        packed = True
     else:
         if block is None:
             block = default_block_cols(2 * rb_pad)
         cap = _MAX_COLS_PER_CALL
         fill = INVALID
-    width = states.shape[1]
+        packed = False
+    return blocked_counts_device(
+        (states,), n,
+        row_block=row_block, block=block, cap=cap, fill=fill,
+        packed=packed, interpret=interpret, progress=progress,
+    )
 
-    matches = np.zeros((n, n), dtype=np.int64)
-    homs = np.zeros((n, n), dtype=np.int64)
 
-    n_blocks = -(-n // row_block)
+# Dispatch-lean device composition.
+#
+# Two measured facts about tunnelled deployments shape this code:
+#  1. any NEW program that contains a pallas call costs minutes through
+#     the remote compile service, and large multi-kernel programs
+#     re-finalize expensively in EVERY process (25-183 s observed) even
+#     on a persistent-cache hit;
+#  2. a lone, already-compiled kernel program loads and first-executes
+#     in <1 s, and eager dispatches are async — only fetches block.
+#
+# So: compose from the SAME single-kernel jitted programs the rest of
+# the package uses (maximizing compile-cache reuse), glue them with a
+# few tiny pallas-free jitted programs (cheap to compile, cheap to
+# finalize), dispatch everything asynchronously, and fetch ONCE.
 
-    def padded_rows(i):
+
+@jax.jit
+def _concat_rows(chunks):
+    """Row-concatenate shipped chunks (pallas-free; trivial compile)."""
+    return chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("row_block", "rb_pad", "n", "fill")
+)
+def _panel_rows(states, row_block, rb_pad, n, fill):
+    """Split [n, width] into per-block [rb_pad, width] padded row panels
+    (returned as a tuple, so downstream kernel calls need no further
+    slicing ops).  Pallas-free; trivial compile."""
+    out = []
+    for i in range(-(-n // row_block)):
         lo = i * row_block
         hi = min(lo + row_block, n)
         blk = states[lo:hi]
@@ -491,60 +565,138 @@ def pair_counts_pallas_blocked(
                 blk, ((0, rb_pad - (hi - lo)), (0, 0)),
                 constant_values=fill,
             )
-        return blk, lo, hi
+        out.append(blk)
+    return tuple(out)
 
-    # dispatch every panel asynchronously and fetch once at the end —
-    # per-panel synchronous fetches would serialize on host<->device
-    # latency, which dwarfs the 10s-of-ms kernel time per panel.
-    # int32 device accumulation is exact: per-cell counts are bounded
-    # by the genome length (< 2^31).
-    n_panels = n_blocks * (n_blocks + 1) // 2
-    pending = {}
-    for i in range(n_blocks):
-        a, alo, ahi = padded_rows(i)
-        for j in range(i, n_blocks):
-            if progress is not None:
-                # panels are dispatched asynchronously; the stacked
-                # fetch at the end is where completion actually lands,
-                # so cap the dispatch fraction below 100%
-                progress(0.9 * len(pending) / n_panels)
-            b, blo, bhi = padded_rows(j)
-            m_acc = None
-            h_acc = None
-            for start in range(0, width, cap):
-                ca = a[:, start : start + cap]
-                cb = b[:, start : start + cap]
-                pad = bucket_cols(ca.shape[1], block) - ca.shape[1]
-                if pad:
-                    ca = jnp.pad(
-                        ca, ((0, 0), (0, pad)), constant_values=fill
-                    )
-                    cb = jnp.pad(
-                        cb, ((0, 0), (0, pad)), constant_values=fill
-                    )
-                mm, hh = cross_counts_pallas(
-                    ca, cb, block, interpret, packed
-                )
-                m_acc = mm if m_acc is None else m_acc + mm
-                h_acc = hh if h_acc is None else h_acc + hh
-            pending[(i, j)] = (
-                (alo, ahi, blo, bhi), m_acc, h_acc
+
+@jax.jit
+def _stack_pairs(results):
+    """Stack per-panel (matches, homs) pairs into one fetchable array
+    (pallas-free; trivial compile)."""
+    return jnp.stack([jnp.stack(mh) for mh in results])
+
+
+def _col_chunks(dev, block, cap, fill):
+    """Column-chunk a packed device array at the f32-exactness cap,
+    bucket-padding each chunk.  Only genomes beyond ~2x the cap (> 16.8
+    Mbp) take more than one chunk; the feeder buckets the width on the
+    host, so the common case is exactly one chunk and zero device ops."""
+    width = dev.shape[1]
+    out = []
+    for start in range(0, max(width, 1), cap):
+        chunk = dev[:, start : start + cap]
+        pad = bucket_cols(chunk.shape[1], block) - chunk.shape[1]
+        if pad:
+            chunk = jnp.pad(
+                chunk, ((0, 0), (0, pad)), constant_values=fill
             )
+        out.append(chunk)
+    return out
+
+
+def flat_counts_device(
+    chunks,
+    n: int,
+    *,
+    block: int,
+    packed: bool = True,
+    interpret: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """All-pairs counting over device-resident packed row chunks whose
+    rows concatenate to the flat kernel's [n_pad, width] input (the
+    streaming feeder's n <= 512 path).  Reuses the exact
+    ``_pallas_counts`` program the one-shot packed path compiles, so the
+    shipped compile-cache store covers it."""
+    cap = _MAX_COLS_PER_CALL // (2 if packed else 1)
+    fill = _PACKED_PAD if packed else INVALID
+    chunks = tuple(chunks)
+    dev = chunks[0] if len(chunks) == 1 else _concat_rows(chunks)
+    results = [
+        _pallas_counts(chunk, block, interpret, packed)
+        for chunk in _col_chunks(dev, block, cap, fill)
+    ]
+    if len(results) == 1:
+        stacked = np.asarray(results[0]).astype(np.int64)[None]
+    else:
+        stacked = np.asarray(jnp.stack(results)).astype(np.int64)
+    matches = stacked[:, 0].sum(axis=0)[:n, :n]
+    homs = stacked[:, 1].sum(axis=0)[:n, :n]
+    subs = homs - matches
+    np.fill_diagonal(subs, 0)
+    np.fill_diagonal(homs, 0)
+    return subs, homs
+
+
+def blocked_counts_device(
+    chunks,
+    n: int,
+    *,
+    row_block: int = 512,
+    block: int | None = None,
+    cap: int | None = None,
+    fill: int | None = None,
+    packed: bool = True,
+    interpret: bool = False,
+    progress=None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Row-blocked all-pairs counting over device-resident row chunks
+    (packed split-nibble layout unless ``packed=False``).
+
+    ``chunks`` is a tuple of [rows_i, width] device arrays whose rows
+    concatenate to the full panel; the streaming feeder passes the
+    groups it shipped during mapping, the one-shot path passes a single
+    array.  Every pallas dispatch goes through the one shared
+    ``cross_counts_pallas`` program; all dispatches are async and the
+    results land in a single stacked fetch.  int32 device accumulation
+    is exact: per-cell counts are bounded by the genome length (< 2^31).
+    """
+    rb_pad = _pad_rows(row_block)
+    if block is None:
+        block = (
+            max(128, default_block_cols(2 * rb_pad) // 2)
+            if packed
+            else default_block_cols(2 * rb_pad)
+        )
+    if cap is None:
+        cap = _MAX_COLS_PER_CALL // (2 if packed else 1)
+    if fill is None:
+        fill = _PACKED_PAD if packed else INVALID
+
+    n_blocks = -(-n // row_block)
+    all_panels = tuple(
+        (i, j) for i in range(n_blocks) for j in range(i, n_blocks)
+    )
+
+    chunks = tuple(chunks)
+    dev = chunks[0] if len(chunks) == 1 else _concat_rows(chunks)
+    panels = _panel_rows(dev, row_block, rb_pad, n, fill)
+    panel_cols = [_col_chunks(p, block, cap, fill) for p in panels]
+
+    results = []
+    for k, (i, j) in enumerate(all_panels):
+        if progress is not None:
+            # dispatches are async; completion lands at the stacked
+            # fetch, so cap the dispatch fraction below 100%
+            progress(0.9 * k / len(all_panels))
+        m_acc = None
+        h_acc = None
+        for ca, cb in zip(panel_cols[i], panel_cols[j]):
+            mm, hh = cross_counts_pallas(ca, cb, block, interpret, packed)
+            m_acc = mm if m_acc is None else m_acc + mm
+            h_acc = hh if h_acc is None else h_acc + hh
+        results.append((m_acc, h_acc))
 
     # single stacked fetch — per-array round trips cost seconds each on
     # tunnelled deployments (measured: 6 x [512,512] fetches = 17s)
-    keys = list(pending)
-    stacked = np.asarray(
-        jnp.stack(
-            [jnp.stack(pending[k][1:]) for k in keys]
-        )
-    ).astype(np.int64)
-    for idx, (i, j) in enumerate(keys):
-        alo, ahi, blo, bhi = pending[(i, j)][0]
-        m_np = stacked[idx, 0]
-        h_np = stacked[idx, 1]
-        matches[alo:ahi, blo:bhi] = m_np[: ahi - alo, : bhi - blo]
-        homs[alo:ahi, blo:bhi] = h_np[: ahi - alo, : bhi - blo]
+    stacked = np.asarray(_stack_pairs(tuple(results))).astype(np.int64)
+
+    matches = np.zeros((n, n), dtype=np.int64)
+    homs = np.zeros((n, n), dtype=np.int64)
+    for idx, (i, j) in enumerate(all_panels):
+        alo, ahi = i * row_block, min((i + 1) * row_block, n)
+        blo, bhi = j * row_block, min((j + 1) * row_block, n)
+        matches[alo:ahi, blo:bhi] = stacked[idx, 0, : ahi - alo, : bhi - blo]
+        homs[alo:ahi, blo:bhi] = stacked[idx, 1, : ahi - alo, : bhi - blo]
         if j > i:
             matches[blo:bhi, alo:ahi] = matches[alo:ahi, blo:bhi].T
             homs[blo:bhi, alo:ahi] = homs[alo:ahi, blo:bhi].T
