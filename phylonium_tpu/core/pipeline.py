@@ -553,6 +553,16 @@ def prewarm_counts(n: int, ref_len: int, cfg: RunConfig):
                 dummy = jnp.full((n_pad, cols), _PACKED_PAD, jnp.uint8)
                 out = _pallas_counts(dummy, block, packed=True)
             jax.block_until_ready(out)
+            if (
+                not cfg.mesh
+                and not cfg.complete_deletion
+                and not cfg.print_positions
+                and not cfg.checkpoint_dir
+                and cfg.count_backend == "auto"
+            ):
+                from phylonium_tpu.core.stream import prewarm_stream
+
+                prewarm_stream(n, ref_len)
         except Exception:
             pass  # prewarm is best-effort; the real call will compile
 
@@ -706,9 +716,26 @@ def _compare_and_finish(
 
     t0 = time.time()
     if feeder is not None:
-        subs, homs = _race_host(
-            states, lambda: feeder.finish(progress), progress
-        )
+        # the feeder knows how much of the panel verifiably reached the
+        # device during mapping.  If shipping lagged badly, the device
+        # leg cannot win the race — and on a few-core host its tracing/
+        # transfer work would slow the host leg 25-55% (measured), so
+        # skip straight to the host path.
+        frac = feeder.shipped_fraction()
+        if frac < 0.5:
+            if os.environ.get("PHYLONIUM_TPU_DEBUG"):
+                print(
+                    f"compare: streaming shipped {frac:.0%} during "
+                    "mapping; counting on host without a device race",
+                    file=sys.stderr,
+                )
+            from phylonium_tpu.ops.bitplane_host import pair_counts_host
+
+            subs, homs = pair_counts_host(states, progress=progress)
+        else:
+            subs, homs = _race_host(
+                states, lambda: feeder.finish(progress), progress
+            )
     else:
         subs, homs = pair_counts(states, cfg, progress=progress)
     timings["compare"] = time.time() - t0

@@ -37,19 +37,41 @@ from phylonium_tpu.index.esa import ESAIndex
 DEFAULT_GROUP_ROWS = 128
 
 
-class DeviceRowFeeder:
-    """Ships packed pileup row groups to the device as they are built.
+def _sync_probe_fn(x):
+    return x[:1, :1]
 
-    ``feed(rows)`` enqueues a group (a contiguous uint8 view that must
-    stay valid until ``finish``); a single worker thread packs it
-    (native nibble pass) and starts the host→device transfer, so a
-    degraded tunnel window stalls the worker, never the mapping loop.
-    ``finish()`` concatenates the groups on device and runs the packed
-    counting kernels; it raises whatever the worker hit, which the
-    caller absorbs via the host race.
+
+_sync_probe = None
+
+
+def _get_sync_probe():
+    global _sync_probe
+    if _sync_probe is None:
+        import jax
+
+        _sync_probe = jax.jit(_sync_probe_fn)
+    return _sync_probe
+
+
+class DeviceRowFeeder:
+    """Ships pileup row groups to the device as queries finish mapping.
+
+    ``feed(queries, homologies)`` enqueues a mapped group; a single
+    worker thread ships it as 2-bit-packed query codes + interval
+    records (~L/4 bytes per genome — the tunnel's REAL h2d bandwidth,
+    10-40 MB/s in practice, is the wall for device counting at scale,
+    so shipped bytes are the currency) and dispatches the fused
+    build-and-nibble-pack program (ops/pileup_device.build_packed_
+    rows_device), so a degraded tunnel window stalls the worker, never
+    the mapping loop.  ``finish()`` concatenates the resulting chunks on
+    device and runs the same cached counting kernel programs the
+    one-shot packed path uses; it raises whatever the worker hit, which
+    the caller absorbs via the host race.
     """
 
-    def __init__(self, n: int, ref_len: int, interpret: bool = False):
+    def _init_shapes(
+        self, n: int, ref_len: int, interpret: bool
+    ) -> None:
         from phylonium_tpu.ops.pallas_match import (
             _MAX_COLS_PER_CALL,
             blocked_call_shape,
@@ -68,11 +90,17 @@ class DeviceRowFeeder:
             _, self.block, _ = blocked_call_shape(n, ref_len)
         cap = _MAX_COLS_PER_CALL // 2
         l2 = -(-max(ref_len, 1) // 2)
-        # width bucketed up front on the host: one kernel call per
-        # column chunk with zero device-side padding ops
+        self.l2 = l2
+        # width bucketed up front: one kernel call per column chunk
+        # with zero device-side padding ops
         self.width = bucket_cols(l2, self.block) if l2 <= cap else l2
+
+    def __init__(self, n: int, ref_len: int, interpret: bool = False):
+        self._init_shapes(n, ref_len, interpret)
         self._rows_done = 0
         self._chunks: list = []
+        self._shipped = 0
+        self._enqueued = 0
         self._error: BaseException | None = None
         # unbounded: groups are views into the host states matrix (no
         # copies), and a degraded tunnel window must stall the worker
@@ -84,34 +112,54 @@ class DeviceRowFeeder:
         self._worker.start()
 
     def _drain(self) -> None:
-        import jax
+        import numpy as _np
 
-        from phylonium_tpu.ops.pallas_match import pack_states
+        from phylonium_tpu.ops.pileup_device import (
+            build_packed_rows_device,
+        )
 
         while True:
             item = self._q.get()
             if item is None:
                 return
-            rows, out_rows = item
+            queries, homologies, pad_rows = item
             try:
                 if self._error is None:
-                    packed = pack_states(rows, out_rows, self.width)
-                    self._chunks.append(jax.device_put(packed))
+                    chunk = build_packed_rows_device(
+                        queries, homologies, self.ref_len,
+                        self.l2, self.width, pad_rows=pad_rows,
+                    )
+                    # force real completion: dispatch returns instantly
+                    # and block_until_ready lies on tunnelled backends,
+                    # so a tiny fetch through a stable (prewarmed)
+                    # program is the only trustworthy sync.  It makes
+                    # ``shipped_fraction`` an honest signal for the
+                    # compare-time race decision.
+                    _np.asarray(_get_sync_probe()(chunk))
+                    self._chunks.append(chunk)
+                    self._shipped += 1
             except BaseException as e:  # noqa: BLE001 — raised in finish()
                 self._error = e
             finally:
                 self._q.task_done()
 
-    def feed(self, rows: np.ndarray) -> None:
-        """Enqueue a contiguous row group (next ``rows.shape[0]``
-        genomes, in order)."""
-        out_rows = rows.shape[0]
-        self._rows_done += out_rows
+    def shipped_fraction(self) -> float:
+        """Fraction of enqueued groups verifiably resident on device."""
+        return self._shipped / max(self._enqueued, 1)
+
+    def feed(self, queries: list, homologies: list) -> None:
+        """Enqueue a mapped group: the next ``len(queries)`` genomes'
+        byte arrays and their (filtered, disjoint) homologies, in
+        order."""
+        rows = len(queries)
+        self._rows_done += rows
+        pad_rows = 0
         if self.flat and self._rows_done >= self.n:
             # last group: pad straight to the kernel's row shape so the
             # device concat is exactly the one-shot packed array
-            out_rows += self.n_pad - self._rows_done
-        self._q.put((rows, out_rows))
+            pad_rows = self.n_pad - self._rows_done
+        self._enqueued += 1
+        self._q.put((queries, homologies, pad_rows))
 
     def finish(self, progress=None) -> tuple[np.ndarray, np.ndarray]:
         """Block until every group is shipped, then count on device —
@@ -149,6 +197,86 @@ class DeviceRowFeeder:
             self._q.put(None)
         except Exception:
             pass
+
+
+def prewarm_stream(
+    n: int, ref_len: int, group_rows: int | None = None
+) -> None:
+    """Compile (and persist) the streamed pipeline's program family for
+    a uniform (n, ref_len) panel: the fused build-and-pack program per
+    group layout, the chunk concat, the panel/stack glue, and the tiny
+    per-chunk sync slice.  A program whose compile outlives the run is
+    lost (the remote service job dies with the process), so the bench
+    and scale runs call this and JOIN before measuring; in production
+    the prewarm thread makes a best effort and the host race covers any
+    miss.  Abstract-shape lowering only — no data, no transfers."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from phylonium_tpu.ops.pallas_match import (
+        _concat_rows,
+        _pad_rows,
+        _panel_rows,
+        _stack_pairs,
+        _PACKED_PAD,
+    )
+    from phylonium_tpu.ops.pileup_device import _bucket, _build_packed
+
+    if group_rows is None:
+        group_rows = int(
+            os.environ.get("PHYLONIUM_TPU_STREAM_GROUP")
+            or DEFAULT_GROUP_ROWS
+        )
+    probe = DeviceRowFeeder.__new__(DeviceRowFeeder)
+    DeviceRowFeeder._init_shapes(probe, n, ref_len, False)
+
+    # chunk row counts exactly as the feeder will produce them: full
+    # groups, a tail group, and (flat path) row padding on the last
+    reals = [group_rows] * (n // group_rows)
+    if n % group_rows:
+        reals.append(n % group_rows)
+    counts = list(reals)
+    if probe.flat:
+        counts[-1] += probe.n_pad - n
+    u8 = jnp.uint8
+    ref_pad = _bucket(ref_len)
+    for real, rows in dict.fromkeys(zip(reals, counts)):
+        # a padded last group ships fewer real genomes than its rows
+        bases = real * ref_len
+        packed = jax.ShapeDtypeStruct(
+            (_bucket(-(-bases // 4)),), u8
+        )
+        seps = jax.ShapeDtypeStruct((_bucket(0),), jnp.int64)
+        ivals = jax.ShapeDtypeStruct(
+            (rows, _bucket(1, lo=16), 4), jnp.int64
+        )
+        _build_packed.lower(
+            packed, seps, ivals, ref_pad, probe.l2, probe.width
+        ).compile()
+        chunk = jax.ShapeDtypeStruct((rows, probe.width), u8)
+        _get_sync_probe().lower(chunk).compile()
+
+    chunk_layout = tuple(
+        jax.ShapeDtypeStruct((c, probe.width), u8) for c in counts
+    )
+    if len(chunk_layout) > 1:
+        _concat_rows.lower(chunk_layout).compile()
+    if not probe.flat:
+        total = jax.ShapeDtypeStruct((n, probe.width), u8)
+        rb_pad = _pad_rows(512)
+        _panel_rows.lower(total, 512, rb_pad, n, _PACKED_PAD).compile()
+        nb = -(-n // 512)
+        npanels = nb * (nb + 1) // 2
+        pair = tuple(
+            tuple(
+                jax.ShapeDtypeStruct((rb_pad, rb_pad), jnp.int32)
+                for _ in range(2)
+            )
+            for _ in range(npanels)
+        )
+        _stack_pairs.lower(pair).compile()
 
 
 def map_pileup_streamed(
@@ -206,8 +334,10 @@ def map_pileup_streamed(
                 batch, threshold, progress_out=counter
             )
             homologies[lo:hi] = out
+            # host rows back the compare race's host leg; the feeder
+            # ships the same group as 2-bit queries + intervals
             build_pileup_native(batch, out, ref_len, out=states[lo:hi])
-            feeder.feed(states[lo:hi])
+            feeder.feed(batch, out)
             bar.update(hi)
     finally:
         stop.set()

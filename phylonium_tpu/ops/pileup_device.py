@@ -103,8 +103,7 @@ def intervals_from_homologies(
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("ref_len",))
-def _build(packed, sep_idx, intervals, ref_len: int):
+def _build_core(packed, sep_idx, intervals, ref_len: int):
     # 1. unpack 2-bit codes, then mark separators (sparse scatter).
     # Covered columns always index real query bases, so trailing pack
     # padding is never read through a covered column.
@@ -158,6 +157,38 @@ def _build(packed, sep_idx, intervals, ref_len: int):
     return jax.vmap(one_genome)(starts, ends, bvals, dirs)
 
 
+@functools.partial(jax.jit, static_argnames=("ref_len",))
+def _build(packed, sep_idx, intervals, ref_len: int):
+    return _build_core(packed, sep_idx, intervals, ref_len)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ref_len", "l2", "out_width")
+)
+def _build_packed(packed, sep_idx, intervals, ref_len: int, l2: int,
+                  out_width: int):
+    """Build pileup rows AND emit them in the counting kernels' split-
+    nibble layout (ops/pallas_match.pack_states) in one program: byte j
+    = state[j] | state[j + l2] << 4 for j < l2, INVALID-packed beyond.
+    The streaming feeder ships 2-bit queries + intervals (half the
+    nibble-states volume — the tunnel's real h2d bandwidth is the wall
+    for device counting at scale) and gets chunk arrays that feed the
+    exact same cached kernel programs as host packing."""
+    s = _build_core(packed, sep_idx, intervals, ref_len)
+    if s.shape[1] < 2 * l2:
+        s = jnp.pad(
+            s, ((0, 0), (0, 2 * l2 - s.shape[1])),
+            constant_values=INVALID,
+        )
+    core = s[:, :l2] | (s[:, l2 : 2 * l2] << 4)
+    if out_width > l2:
+        core = jnp.pad(
+            core, ((0, 0), (0, out_width - l2)),
+            constant_values=INVALID | (INVALID << 4),
+        )
+    return core[:, :out_width].astype(jnp.uint8)
+
+
 def _bucket(n: int, lo: int = 128) -> int:
     """Quarter-octave size bucket (shared compiled shapes across runs)."""
     n = max(n, lo)
@@ -170,6 +201,58 @@ def _bucket(n: int, lo: int = 128) -> int:
 # start <= group_bases + 2 * ref_len (intervals_from_homologies), so the
 # group bound reserves that headroom in build_pileup_device.
 _MAX_GROUP_BASES = 1 << 31
+
+
+def build_packed_rows_device(
+    queries: list[np.ndarray],
+    homologies: list[list[Homology]],
+    ref_len: int,
+    l2: int,
+    out_width: int,
+    pad_rows: int = 0,
+):
+    """One streamed row group: ship 2-bit-packed queries + interval
+    records (~L/4 bytes per genome — half the nibble-states volume) and
+    build + nibble-pack the pileup rows on device in a single program.
+
+    Returns the [len(queries) + pad_rows, out_width] uint8 device chunk
+    (dispatch is async); ``pad_rows`` appends INVALID-packed rows (the
+    flat kernel's row padding).  Bit-identical to
+    ``pack_states(host_rows, n + pad_rows, out_width)`` — asserted in
+    tests/test_stream.py.
+    """
+    limit = _MAX_GROUP_BASES - 2 * ref_len - 1
+    if queries and sum(len(q) for q in queries) > limit:
+        raise ConfigError(
+            "device pileup group exceeds int32 indexing; use smaller "
+            "row groups"
+        )
+    packed, sep_idx, bases = pack_queries(queries)
+    intervals = intervals_from_homologies(homologies, bases, ref_len)
+
+    packed = np.pad(packed, (0, _bucket(len(packed)) - len(packed)))
+    s_pad = _bucket(len(sep_idx)) - len(sep_idx)
+    sep_idx = np.pad(
+        sep_idx, (0, s_pad), constant_values=4 * len(packed)
+    )
+    hmax = intervals.shape[1]
+    h_pad = _bucket(hmax, lo=16) - hmax
+    rows = intervals.shape[0] + pad_rows
+    if h_pad or pad_rows:
+        out = np.full((rows, hmax + h_pad, 4), ref_len, dtype=np.int64)
+        out[:, :, 3] = 0
+        out[: intervals.shape[0], :hmax] = intervals
+        intervals = out
+
+    ref_pad = _bucket(ref_len)
+    return _build_packed(
+        jnp.asarray(packed),
+        jnp.asarray(sep_idx),
+        jnp.asarray(intervals),
+        ref_pad,
+        l2,
+        out_width,
+    )
 
 
 def build_pileup_device(

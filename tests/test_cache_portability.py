@@ -23,7 +23,7 @@ def test_compile_options_do_not_embed_cache_dir(tmp_path, monkeypatch):
     import phylonium_tpu.utils.cache as cache_mod
 
     monkeypatch.setattr(cache_mod, "_enabled", False)
-    enable_compile_cache()
+    enable_compile_cache(force=True)
 
     import jax
     import jax.numpy as jnp
@@ -56,7 +56,7 @@ def test_location_flags_pinned():
     import phylonium_tpu.utils.cache  # noqa: F401
     import jax
 
-    enable_compile_cache()
+    enable_compile_cache(force=True)
     assert jax.config.jax_traceback_in_locations_limit == 0
     assert not jax.config.jax_include_full_tracebacks_in_locations
 

@@ -14,16 +14,57 @@ import io
 import numpy as np
 import pytest
 
+from phylonium_tpu.core.homology import FORWARD, REVERSE, Homology
+from phylonium_tpu.core.pileup import build_pileup
 from phylonium_tpu.core.stream import DeviceRowFeeder
 from phylonium_tpu.ops.match_table import pair_counts_numpy
 
 
-def _feed_all(states, groups, **kw):
-    n, L = states.shape
-    feeder = DeviceRowFeeder(n, L, interpret=True, **kw)
+def _hom(direction, proj_start, iq, length):
+    return Homology(
+        direction=direction,
+        index_reference=proj_start,
+        index_reference_projected=proj_start,
+        index_query=iq,
+        length=length,
+    )
+
+
+def _panel(rng, n, ref_len):
+    """Synthetic mapped panel: queries + disjoint homologies with
+    forward/reverse/partial/empty coverage and '!' separators."""
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    queries, homologies = [], []
+    for g in range(n):
+        qlen = ref_len + int(rng.integers(0, 60))
+        q = rng.choice(acgt, qlen).astype(np.uint8)
+        if g % 4 == 1 and qlen > 40:
+            q[qlen // 2] = ord("!")
+        hv = []
+        if g % 5 != 4:  # every 5th genome: no homologies at all
+            cut = int(rng.integers(1, ref_len))
+            len1 = int(rng.integers(1, cut + 1))
+            hv.append(_hom(FORWARD, cut - len1, 0, len1))
+            len2 = int(rng.integers(0, ref_len - cut + 1))
+            if len2 > 0:
+                hv.append(
+                    _hom(
+                        REVERSE if g % 3 == 0 else FORWARD,
+                        cut, qlen - len2 - 1 if g % 3 == 0 else cut,
+                        len2,
+                    )
+                )
+        queries.append(q)
+        homologies.append(hv)
+    return queries, homologies
+
+
+def _feed_all(queries, homologies, ref_len, groups, **kw):
+    n = len(queries)
+    feeder = DeviceRowFeeder(n, ref_len, interpret=True, **kw)
     lo = 0
     for g in groups:
-        feeder.feed(states[lo : lo + g])
+        feeder.feed(queries[lo : lo + g], homologies[lo : lo + g])
         lo += g
     assert lo == n
     return feeder.finish()
@@ -39,35 +80,61 @@ def _feed_all(states, groups, **kw):
     ],
 )
 def test_feeder_flat_matches_oracle(rng, n, length, groups):
-    states = rng.integers(0, 11, size=(n, length), dtype=np.uint8)
-    subs, homs = _feed_all(states, groups)
+    queries, homologies = _panel(rng, n, length)
+    subs, homs = _feed_all(queries, homologies, length, groups)
+    states = build_pileup(queries, homologies, length)
     es, eh = pair_counts_numpy(states)
     np.testing.assert_array_equal(subs, es)
     np.testing.assert_array_equal(homs, eh)
 
 
 def test_feeder_blocked_matches_oracle(rng):
-    """n > 512 takes the row-blocked panel path on pre-packed input."""
+    """n > 512 takes the row-blocked panel path on shipped chunks."""
     n, length = 530, 600
-    states = rng.integers(0, 11, size=(n, length), dtype=np.uint8)
-    subs, homs = _feed_all(states, [256, 256, 18])
+    queries, homologies = _panel(rng, n, length)
+    subs, homs = _feed_all(
+        queries, homologies, length, [256, 256, 18]
+    )
+    states = build_pileup(queries, homologies, length)
     es, eh = pair_counts_numpy(states)
     np.testing.assert_array_equal(subs, es)
     np.testing.assert_array_equal(homs, eh)
 
 
+def test_build_packed_rows_matches_host_pack(rng):
+    """The fused build-and-nibble-pack program emits exactly
+    pack_states(host rows) for every padding case."""
+    from phylonium_tpu.ops.pallas_match import pack_states
+    from phylonium_tpu.ops.pileup_device import build_packed_rows_device
+
+    for ref_len, width_pad, pad_rows in [
+        (301, 0, 0), (300, 37, 3), (515, 11, 1)
+    ]:
+        queries, homologies = _panel(rng, 6, ref_len)
+        l2 = -(-ref_len // 2)
+        width = l2 + width_pad
+        got = np.asarray(
+            build_packed_rows_device(
+                queries, homologies, ref_len, l2, width,
+                pad_rows=pad_rows,
+            )
+        )
+        rows = build_pileup(queries, homologies, ref_len)
+        want = pack_states(rows, 6 + pad_rows, width)
+        np.testing.assert_array_equal(got, want)
+
+
 def test_feeder_error_surfaces_in_finish(rng, monkeypatch):
-    import phylonium_tpu.ops.pallas_match as pm
+    import phylonium_tpu.ops.pileup_device as pd
 
     def boom(*a, **k):
         raise RuntimeError("ABORTED: TPU backend error (injected)")
 
-    states = rng.integers(0, 11, size=(8, 256), dtype=np.uint8)
-    # patch before construction: the worker thread binds pack_states at
-    # start-up
-    monkeypatch.setattr(pm, "pack_states", boom)
+    queries, homologies = _panel(rng, 8, 256)
+    # patch before construction: the worker binds the builder at start
+    monkeypatch.setattr(pd, "build_packed_rows_device", boom)
     feeder = DeviceRowFeeder(8, 256, interpret=True)
-    feeder.feed(states)
+    feeder.feed(queries, homologies)
     with pytest.raises(RuntimeError, match="ABORTED"):
         feeder.finish()
 
@@ -172,3 +239,45 @@ def test_should_stream_conditions(monkeypatch):
     # without force: CPU platform + below-threshold panels stay serial
     monkeypatch.delenv("PHYLONIUM_TPU_STREAM", raising=False)
     assert not _should_stream(10, 1000, RunConfig(), ref)
+
+
+def test_lagging_feeder_skips_device_race(tmp_path, monkeypatch, capsys):
+    """When shipping verifiably lagged during mapping, the compare goes
+    straight to the host path (no device race to slow it down)."""
+    import phylonium_tpu.core.stream as st
+    from phylonium_tpu.cli import main
+
+    files = _write_panel(tmp_path, 5, 2200, seed=21)
+
+    class LaggyFeeder(st.DeviceRowFeeder):
+        def shipped_fraction(self):
+            return 0.0
+
+        def finish(self, progress=None):  # pragma: no cover
+            raise AssertionError("device leg must not run")
+
+    monkeypatch.setattr(st, "DeviceRowFeeder", LaggyFeeder)
+    monkeypatch.setenv("PHYLONIUM_TPU_STREAM", "force")
+    monkeypatch.setenv("PHYLONIUM_TPU_DEBUG", "1")
+    import contextlib, io
+
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        rc = main(["--progress=never", *files])
+    assert rc == 0
+    assert "without a device race" in capsys.readouterr().err
+    monkeypatch.setenv("PHYLONIUM_TPU_STREAM", "0")
+    out2 = io.StringIO()
+    with contextlib.redirect_stdout(out2):
+        assert main(["--progress=never", *files]) == 0
+    assert out.getvalue() == out2.getvalue()
+
+
+def test_prewarm_stream_shapes(monkeypatch):
+    """prewarm_stream compiles the exact chunk layouts the feeder
+    produces (smoke: no exceptions for flat + blocked, tail + no-tail)."""
+    from phylonium_tpu.core.stream import prewarm_stream
+
+    prewarm_stream(12, 700, group_rows=5)
+    prewarm_stream(530, 600, group_rows=256)
+    prewarm_stream(128, 1000, group_rows=128)
