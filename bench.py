@@ -684,26 +684,32 @@ def _run_bench(n, length, detail, failures):
             failures, {},
         )
         detail.update(tier1)
-        # larger panels show the O(N^2 * L) comparison-phase scaling;
-        # the 8n tier (134 Gbp of pair work at the default panel) sits
-        # above the work threshold, so the production dispatch counts
-        # on the DEVICE — the driver-visible TPU-through-the-chip win
-        tiers = [(4 * n, 2, 560, 61)]
+        # larger panels show the O(N^2 * L) comparison-phase scaling.
+        # The device tier (600 x 1 Mbp, 180 Gbp of pair work) sits above
+        # the work threshold, so the production dispatch streams to and
+        # counts on the DEVICE — the driver-visible through-the-chip
+        # win.  (The decisive ratio is pair-work per shipped byte = 2N:
+        # the chip beats the host's AVX2 path when N exceeds roughly
+        # 7e9 / tunnel-bandwidth, so large N at moderate L is the
+        # device's territory; see docs/ARCHITECTURE.md.)
+        tiers = [(4 * n, length, 2, 560, 61)]
         if os.environ.get("PHYLONIUM_TPU_BENCH_TIER3", "1") != "0":
-            tiers.append((8 * n, 1, 900, 67))
-        for large_n, runs, tmo, seed in tiers:
+            tiers.append((600, 1_000_000, 1, 900, 67))
+        for large_n, tier_len, runs, tmo, seed in tiers:
             detail[f"e2e_n{large_n}_dispatch"] = (
                 "host"
-                if _auto_prefers_host(large_n, length, cfg)
+                if _auto_prefers_host(large_n, tier_len, cfg)
                 else "device"
             )
-            prewarm_shape(large_n, length)  # subprocess hits the cache
+            prewarm_shape(large_n, tier_len)  # subprocess hits the cache
             tier = guard(
                 f"e2e_n{large_n}",
-                lambda ln=large_n, r=runs, t=tmo, s=seed: e2e_tier(
-                    simulate_panel(ln, length, seed=s),
-                    runs=r,
-                    timeout_s=t,
+                lambda ln=large_n, ll=tier_len, r=runs, t=tmo, s=seed: (
+                    e2e_tier(
+                        simulate_panel(ln, ll, seed=s),
+                        runs=r,
+                        timeout_s=t,
+                    )
                 ),
                 failures, {},
             )

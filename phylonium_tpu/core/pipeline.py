@@ -605,9 +605,27 @@ def _should_stream(n: int, ref_len: int, cfg: RunConfig, ref) -> bool:
         return True
     if _auto_prefers_host(n, ref_len, cfg):
         return False
-    if _mesh_device_count(cfg) > 1:
-        return False
-    return _use_pallas(cfg)
+    # every remaining check avoids jax.devices(): the backend handshake
+    # can block for seconds and belongs on the prewarm thread, not in
+    # the pipeline's critical path.  Device count only matters once the
+    # backend is up (a multi-chip runtime routes to the mesh instead).
+    try:
+        from jax._src import xla_bridge
+
+        if (
+            xla_bridge.backends_are_initialized()
+            and _mesh_device_count(cfg) > 1
+        ):
+            return False
+    except Exception:
+        if _mesh_device_count(cfg) > 1:
+            return False
+    # a CPU-pinned run sets jax_platforms (conftest,
+    # PHYLONIUM_TPU_PLATFORM); otherwise this deployment's default
+    # backend is the TPU
+    from phylonium_tpu.utils.platform import cpu_pinned
+
+    return not cpu_pinned()
 
 
 def process(
@@ -639,10 +657,14 @@ def process(
         )
 
         try:
-            import jax
+            # interpret mode only for CPU-pinned (test/forced) runs —
+            # derived from the config pin, NOT jax.devices(), whose
+            # backend handshake would block the pipeline here
+            from phylonium_tpu.utils.platform import cpu_pinned
 
-            interpret = jax.devices()[0].platform != "tpu"
-            feeder = DeviceRowFeeder(n, len(subject), interpret=interpret)
+            feeder = DeviceRowFeeder(
+                n, len(subject), interpret=cpu_pinned()
+            )
         except Exception:
             feeder = None  # feeder construction is best-effort
 

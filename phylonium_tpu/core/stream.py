@@ -101,6 +101,7 @@ class DeviceRowFeeder:
         self._chunks: list = []
         self._shipped = 0
         self._enqueued = 0
+        self._closed = False
         self._error: BaseException | None = None
         # unbounded: groups are views into the host states matrix (no
         # copies), and a degraded tunnel window must stall the worker
@@ -118,30 +119,58 @@ class DeviceRowFeeder:
             build_packed_rows_device,
         )
 
+        # double-buffered: keep one group's transfer in flight while
+        # syncing the previous one, so shipping group k+1 does not wait
+        # behind the residency check of group k — but never flood the
+        # tunnel with every group at once (a deep dispatch queue starves
+        # the sync fetches behind it)
+        pending: list = []
+        stopping = False
         while True:
-            item = self._q.get()
-            if item is None:
-                return
-            queries, homologies, pad_rows = item
-            try:
-                if self._error is None:
-                    chunk = build_packed_rows_device(
-                        queries, homologies, self.ref_len,
-                        self.l2, self.width, pad_rows=pad_rows,
-                    )
-                    # force real completion: dispatch returns instantly
-                    # and block_until_ready lies on tunnelled backends,
-                    # so a tiny fetch through a stable (prewarmed)
-                    # program is the only trustworthy sync.  It makes
-                    # ``shipped_fraction`` an honest signal for the
-                    # compare-time race decision.
+            if len(pending) < 2 and not stopping:
+                try:
+                    item = self._q.get(block=not pending)
+                    if item is None:
+                        stopping = True
+                    else:
+                        queries, homologies, pad_rows = item
+                        try:
+                            if self._error is None:
+                                chunk = build_packed_rows_device(
+                                    queries, homologies, self.ref_len,
+                                    self.l2, self.width,
+                                    pad_rows=pad_rows,
+                                )
+                                self._chunks.append(chunk)
+                                pending.append(chunk)
+                        except BaseException as e:  # noqa: BLE001
+                            self._error = e  # raised in finish()
+                    self._q.task_done()
+                    continue
+                except queue.Empty:
+                    pass
+            if pending:
+                if self._closed:
+                    # finish() took over: stop syncing (its counting
+                    # fetch forces residency anyway) but keep draining
+                    # dispatches so q.join() completes
+                    pending.clear()
+                    continue
+                # force real completion: dispatch returns instantly and
+                # block_until_ready lies on tunnelled backends, so a
+                # tiny fetch through a stable (prewarmed) program is
+                # the only trustworthy sync.  It makes
+                # ``shipped_fraction`` an honest signal for the
+                # compare-time race decision.
+                chunk = pending.pop(0)
+                try:
                     _np.asarray(_get_sync_probe()(chunk))
-                    self._chunks.append(chunk)
                     self._shipped += 1
-            except BaseException as e:  # noqa: BLE001 — raised in finish()
-                self._error = e
-            finally:
-                self._q.task_done()
+                except BaseException as e:  # noqa: BLE001
+                    if self._error is None:
+                        self._error = e
+            elif stopping:
+                return
 
     def shipped_fraction(self) -> float:
         """Fraction of enqueued groups verifiably resident on device."""
@@ -171,9 +200,9 @@ class DeviceRowFeeder:
             flat_counts_device,
         )
 
-        self._q.join()
-        self._q.put(None)
-        self._worker.join()
+        self._closed = True  # worker stops syncing; counting syncs all
+        self._q.join()  # all groups dispatched (chunks list complete)
+        self._q.put(None)  # worker exits
         if self._error is not None:
             raise self._error
         if self._rows_done != self.n:

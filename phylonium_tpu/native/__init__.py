@@ -121,6 +121,16 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.phy_pack2.restype = ctypes.c_int64
+        lib.phy_pack2.argtypes = [
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+        ]
         _lib = lib
     return _lib
 
@@ -257,6 +267,39 @@ def pack_states_native(
         _u8ptr(states), n, length, n_pad, width, _u8ptr(out)
     )
     return out
+
+
+def pack2_native(
+    queries: list[np.ndarray],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One-pass 2-bit pack of concatenated queries (+ '!' separator
+    positions and per-query base offsets) — the host side of the
+    streamed device-pileup shipping path; layout contract in
+    ops/pileup_device.pack_queries."""
+    lib = get_lib()
+    n = len(queries)
+    queries = [np.ascontiguousarray(q, dtype=np.uint8) for q in queries]
+    qptrs = (ctypes.POINTER(ctypes.c_uint8) * max(n, 1))(
+        *[_u8ptr(q) for q in queries]
+    )
+    qlens = np.array([q.size for q in queries], dtype=np.int64)
+    bases = np.zeros(n + 1, np.int64)
+    if n:
+        np.cumsum(qlens, out=bases[1:])
+    total = int(bases[-1])
+    if total == 0:
+        return np.zeros(0, np.uint8), np.zeros(0, np.int64), bases
+    packed = np.zeros(-(-total // 4), dtype=np.uint8)
+    sep_cap = 4096
+    while True:
+        sep = np.zeros(max(sep_cap, 1), dtype=np.int64)
+        nsep = lib.phy_pack2(
+            qptrs, _i64ptr(qlens), n, _u8ptr(packed), packed.size,
+            _i64ptr(sep), sep_cap,
+        )
+        if nsep <= sep_cap:
+            return packed, sep[:nsep].copy(), bases
+        sep_cap = int(nsep)
 
 
 def pair_counts_range(

@@ -873,6 +873,39 @@ void phy_pack_states(const u8 *__restrict__ states, i64 n, i64 length,
     }
 }
 
+// 2-bit pack of concatenated queries + '!' separator positions (the
+// host side of the streamed device-pileup shipping path,
+// ops/pileup_device.pack_queries): codes A=0 C=1 G=2 T=3, four per
+// byte little-endian; '!' bytes pack as 0 and their global positions
+// in the concatenated stream are recorded.  Returns the separator
+// count — a caller whose sep buffer was too small retries with a
+// bigger one (positions beyond sep_cap are not written).  Replaces a
+// multi-pass numpy formulation that cost ~2 s per 128-genome group on
+// a 1-core host (the feed worker's dominant cost).
+i64 phy_pack2(const u8 *const *qptrs, const i64 *qlens, i64 nq,
+              u8 *__restrict__ packed, i64 packed_len,
+              i64 *__restrict__ sep_out, i64 sep_cap) {
+    std::memset(packed, 0, (size_t)packed_len);
+    u8 code_of[256] = {0};
+    code_of['C'] = 1;
+    code_of['G'] = 2;
+    code_of['T'] = 3;
+    i64 pos = 0, nsep = 0;
+    for (i64 qi = 0; qi < nq; qi++) {
+        const u8 *__restrict__ q = qptrs[qi];
+        const i64 len = qlens[qi];
+        for (i64 k = 0; k < len; k++, pos++) {
+            const u8 b = q[k];
+            if (b == '!') {
+                if (nsep < sep_cap) sep_out[nsep] = pos;
+                nsep++;
+            }
+            packed[pos >> 2] |= (u8)(code_of[b] << ((pos & 3) * 2));
+        }
+    }
+    return nsep;
+}
+
 // Reference-projected pileup construction (the host side of
 // core/pileup.py): fill each genome's row of per-reference-column
 // states from its homology records.  Records are (direction, iq, start,

@@ -43,6 +43,18 @@ def pack_queries(queries: list[np.ndarray]):
     [N+1]) where T = total bases and sep_idx are global positions of
     '!' contig separators (code 4, unrepresentable in 2 bits).
     """
+    try:
+        from phylonium_tpu.native import pack2_native
+
+        return pack2_native(queries)
+    except Exception:
+        return _pack_queries_numpy(queries)
+
+
+def _pack_queries_numpy(queries: list[np.ndarray]):
+    """Numpy oracle for :func:`pack_queries` (bit-parity asserted in
+    tests/test_pileup_device.py; ~2 s per 128-genome group vs ~0.15 s
+    for the native pass on this 1-core host)."""
     bases = np.zeros(len(queries) + 1, np.int64)
     for k, q in enumerate(queries):
         bases[k + 1] = bases[k] + len(q)
@@ -104,15 +116,28 @@ def intervals_from_homologies(
 
 
 def _build_core(packed, sep_idx, intervals, ref_len: int):
-    # 1. unpack 2-bit codes, then mark separators (sparse scatter).
+    # 1. 2-bit codes stay PACKED — the per-column fetch gathers the
+    # byte and shifts out the code in place.  (Materializing the
+    # unpacked [T/4, 4] quad array looks harmless but its TPU tiled
+    # layout pads the minor dim 4 -> 128: a 32x, tens-of-GB HBM
+    # allocation at genome scale that OOMs the compile.)  Separator
+    # ('!') positions — unrepresentable in 2 bits — live in an
+    # on-device bitmap built from the sparse index list.
     # Covered columns always index real query bases, so trailing pack
     # padding is never read through a covered column.
     p = packed.astype(jnp.uint8)
-    quads = jnp.stack(
-        [p & 3, (p >> 2) & 3, (p >> 4) & 3, (p >> 6) & 3], axis=1
-    ).reshape(-1)
-    total = quads.shape[0]
-    qcodes = quads.at[sep_idx].set(4, mode="drop")
+    total = p.shape[0] * 4
+    sep32 = sep_idx.astype(jnp.int32)
+    bitmap = jnp.zeros((total + 7) // 8, jnp.uint8)
+    bitmap = bitmap.at[sep32 >> 3].add(
+        (1 << (sep32 & 7)).astype(jnp.uint8), mode="drop"
+    )
+
+    def fetch_codes(qidx):
+        byte = p[qidx >> 2]
+        code2 = (byte >> (2 * (qidx & 3)).astype(jnp.uint8)) & 3
+        sep = (bitmap[qidx >> 3] >> (qidx & 7).astype(jnp.uint8)) & 1
+        return jnp.where(sep == 1, jnp.uint8(4), code2)
 
     intervals = intervals.astype(jnp.int32)
     starts = intervals[:, :, 0]
@@ -148,7 +173,7 @@ def _build_core(packed, sep_idx, intervals, ref_len: int):
         r = jnp.arange(ref_len, dtype=jnp.int32)
         qidx = jnp.where(dfill == 1, bfill - r, bfill + r)
         qidx = jnp.clip(qidx, 0, max(total - 1, 0))
-        vals = qcodes[qidx].astype(jnp.int32)
+        vals = fetch_codes(qidx).astype(jnp.int32)
         state = jnp.where(
             cov, vals + N_BASE * dfill, jnp.int32(INVALID)
         )

@@ -143,3 +143,42 @@ def test_zero_length_homology_mid_list(rng, make_genome):
         _hom(REVERSE, 600, 500, 250),
     ]
     _compare([q], [hv], 1000)
+
+
+def test_pack2_native_matches_numpy(rng, make_genome):
+    """The native one-pass 2-bit packer is bit-identical to the numpy
+    oracle (codes, separator positions, offsets) for odd lengths,
+    multi-contig '!' genomes, and empty inputs."""
+    import pytest
+
+    from phylonium_tpu.ops.pileup_device import (
+        _pack_queries_numpy,
+        pack_queries,
+    )
+
+    try:
+        from phylonium_tpu.native import pack2_native
+    except Exception:
+        pytest.skip("native backend unavailable")
+
+    cases = [
+        [],
+        [np.frombuffer(b"ACGT", np.uint8)],
+        [np.frombuffer(b"A", np.uint8), np.frombuffer(b"!", np.uint8)],
+        [
+            np.frombuffer(
+                make_genome(rng, 333) + b"!" + make_genome(rng, 77),
+                np.uint8,
+            ),
+            np.frombuffer(make_genome(rng, 1021), np.uint8),
+            np.frombuffer(b"!!", np.uint8),
+        ],
+    ]
+    for queries in cases:
+        pn, sn, bn = _pack_queries_numpy(queries)
+        pc, sc, bc = pack2_native(queries)
+        np.testing.assert_array_equal(pn, pc)
+        np.testing.assert_array_equal(sn, sc)
+        np.testing.assert_array_equal(bn, bc)
+        pd, sd, bd = pack_queries(queries)
+        np.testing.assert_array_equal(pn, pd)
