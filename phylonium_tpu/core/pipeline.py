@@ -751,6 +751,7 @@ def _compare_and_finish(
                     "mapping; counting on host without a device race",
                     file=sys.stderr,
                 )
+            feeder.cancel()  # stop shipping what nobody will count
             from phylonium_tpu.ops.bitplane_host import pair_counts_host
 
             subs, homs = pair_counts_host(states, progress=progress)

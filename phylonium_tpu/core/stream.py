@@ -102,6 +102,7 @@ class DeviceRowFeeder:
         self._shipped = 0
         self._enqueued = 0
         self._closed = False
+        self._gave_up = False
         self._error: BaseException | None = None
         # unbounded: groups are views into the host states matrix (no
         # copies), and a degraded tunnel window must stall the worker
@@ -135,7 +136,7 @@ class DeviceRowFeeder:
                     else:
                         queries, homologies, pad_rows = item
                         try:
-                            if self._error is None:
+                            if self._error is None and not self._gave_up:
                                 chunk = build_packed_rows_device(
                                     queries, homologies, self.ref_len,
                                     self.l2, self.width,
@@ -205,6 +206,11 @@ class DeviceRowFeeder:
         self._q.put(None)  # worker exits
         if self._error is not None:
             raise self._error
+        if self._gave_up:
+            raise RuntimeError(
+                "ABORTED: feeder gave up — tunnel could not ship the "
+                "panel (transient bandwidth collapse)"
+            )
         if self._rows_done != self.n:
             raise RuntimeError(
                 f"feeder got {self._rows_done} rows for {self.n} genomes"
@@ -220,8 +226,12 @@ class DeviceRowFeeder:
             interpret=self.interpret, progress=progress,
         )
 
-    def abort(self) -> None:
-        """Stop the worker without counting (host path won the race)."""
+    def cancel(self) -> None:
+        """The compare went to the host: stop building/shipping the
+        remaining groups (they would waste link bandwidth and CPU the
+        host path needs) and let the worker drain out."""
+        self._gave_up = True
+        self._closed = True
         try:
             self._q.put(None)
         except Exception:

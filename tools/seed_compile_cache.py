@@ -66,9 +66,28 @@ def seed_kernels() -> None:
         print(f"cross  rb_pad={rb_pad:4d} block={block:5d} cols={cols}")
 
 
+def seed_stream() -> None:
+    """Streamed-pipeline program family (fused build-and-pack, chunk
+    concat, panel/stack glue, sync slice) for the standard panel tiers
+    — all pallas-free or kernel-reusing, so entries are small."""
+    from phylonium_tpu.core.stream import prewarm_stream
+
+    for n, length in (
+        (29, 5_000_000),
+        (116, 5_000_000),
+        (232, 5_000_000),
+        (600, 1_000_000),
+        (1000, 1_000_000),
+        (1000, 500_000),
+    ):
+        prewarm_stream(n, length)
+        print(f"stream n={n:5d} length={length}")
+
+
 def main() -> None:
     os.makedirs(STORE, exist_ok=True)
     seed_kernels()
+    seed_stream()
     if "--bench" in sys.argv:
         # bench's chained steady-state + anchor-extend programs compile
         # under the same cache dir
