@@ -631,6 +631,303 @@ static std::vector<Hom> map_one(const Index &idx, i64 threshold, const u8 *q,
     return hv;
 }
 
+// ---------------------------------------------------------------------------
+// Interleaved batch mapping (memory-level parallelism).
+//
+// A probe is ~4-6 DEPENDENT cache misses (bucket entry -> SA entry ->
+// first text line of each neighbor lcp), so one chain runs at the DRAM
+// latency floor (~350 ns/probe measured).  Different queries' chains are
+// independent, though: this scheduler advances K chains in lock-step
+// micro-steps, each step consuming one previously-prefetched datum and
+// prefetching the next, so up to K misses are in flight at once instead
+// of one.  The per-query probe/decision SEQUENCE is exactly
+// chain_anchors' (bit-parity asserted against the scalar path and the
+// Python oracle in tests/test_native.py / test_oracle_parity.py).
+// ---------------------------------------------------------------------------
+
+struct ChainRun {
+    // which query
+    const u8 *q = nullptr;
+    i64 qlen = 0;
+    i64 qidx = -1;
+
+    // chain state (mirrors chain_anchors' locals exactly)
+    Seed prev;
+    bool merged = false;
+    Hom open{0, 0, 0, 0, 0};
+    std::vector<Hom> segs;
+    i64 cursor = 0;
+
+    // probe in flight
+    enum Ph : u8 {
+        NEXT, DIAG, BUCKET, SEARCH_SA, SEARCH_CMP,
+        NEI_SA, NEI_LCP, FLANK_SA, FLANK_LCP, APPLY, IDLE,
+    } ph = IDLE;
+    i64 lo = 0, hi = 0, skip = 0, mid = 0, at = 0;
+    i64 mid_pos = 0, nei_l = 0, nei_r = 0, flank = 0, flank_pos = 0;
+    i64 len = 0, wpos = 0, diag_s = 0;
+    i64 probe_len = 0, hit_s = 0;
+    bool unique = false;
+};
+
+static inline void pf(const void *p) { __builtin_prefetch(p, 0, 1); }
+
+// advance one chain by one micro-step; returns false when the query is
+// fully mapped (caller refills the slot)
+static bool chain_step(const Index &idx, i64 threshold, ChainRun &c) {
+    const i64 strand_border = idx.n / 2;
+    switch (c.ph) {
+        case ChainRun::NEXT: {
+            if (c.cursor >= c.qlen) {
+                // identical sequences: one seed covered the whole query
+                if (c.prev.len >= c.qlen)
+                    c.open = Hom{0, c.prev.s, c.prev.s, 0, c.qlen};
+                if (c.merged || c.prev.len / 2 >= threshold) {
+                    project_forward(c.open, strand_border);
+                    c.segs.push_back(c.open);
+                }
+                return false;
+            }
+            c.probe_len = 0;
+            c.hit_s = -1;
+            c.diag_s = c.prev.s + (c.cursor - c.prev.q);
+            bool diag_ok = c.diag_s < idx.n &&
+                           c.cursor - (c.prev.q + c.prev.len) <= threshold;
+            if (diag_ok) {
+                pf(idx.S.data() + c.diag_s);
+                pf(idx.S.data() + c.diag_s + 64);
+                pf(idx.S.data() + c.diag_s + 128);
+                c.ph = ChainRun::DIAG;
+            } else {
+                i64 code = idx.code_of(c.q + c.cursor, c.qlen - c.cursor);
+                c.mid = code;  // stash for BUCKET
+                if (idx.has_buckets && code >= 0)
+                    pf(idx.bucket_lo.data() + 2 * code);
+                c.ph = ChainRun::BUCKET;
+            }
+            return true;
+        }
+        case ChainRun::DIAG: {
+            c.probe_len = idx.lcp(c.diag_s, c.q + c.cursor,
+                                  c.qlen - c.cursor, c.qlen - c.cursor);
+            if (c.probe_len >= threshold) {
+                c.hit_s = c.diag_s;
+                c.ph = ChainRun::APPLY;
+            } else {
+                i64 code = idx.code_of(c.q + c.cursor, c.qlen - c.cursor);
+                c.mid = code;
+                if (idx.has_buckets && code >= 0)
+                    pf(idx.bucket_lo.data() + 2 * code);
+                c.ph = ChainRun::BUCKET;
+            }
+            return true;
+        }
+        case ChainRun::BUCKET: {
+            i64 code = c.mid;
+            c.lo = 0;
+            c.hi = idx.n;
+            c.skip = 0;
+            if (idx.has_buckets && code >= 0) {
+                i64 blo = idx.bucket_lo[2 * code];
+                if (blo >= 0) {
+                    c.lo = blo;
+                    c.hi = idx.bucket_lo[2 * code + 1];
+                    c.skip = Index::KMER;
+                }
+            }
+            if (c.lo < c.hi) {
+                c.mid = c.lo + (c.hi - c.lo) / 2;
+                pf(idx.SA32.empty()
+                       ? (const void *)(idx.SA.data() + c.mid)
+                       : (const void *)(idx.SA32.data() + c.mid));
+                c.ph = ChainRun::SEARCH_SA;
+            } else {  // n == 0 cannot happen; defensive
+                c.ph = ChainRun::APPLY;
+            }
+            return true;
+        }
+        case ChainRun::SEARCH_SA: {
+            c.mid_pos = idx.suf(c.mid);
+            pf(idx.S.data() + c.mid_pos + c.skip);
+            c.ph = ChainRun::SEARCH_CMP;
+            return true;
+        }
+        case ChainRun::SEARCH_CMP: {
+            const i64 plen = c.qlen - c.cursor;
+            i64 l = idx.lcp_from(c.mid_pos, c.q + c.cursor, plen, plen,
+                                 c.skip);
+            int cmp;
+            if (l == plen)
+                cmp = 0;
+            else if (c.mid_pos + l >= idx.n)
+                cmp = -1;
+            else
+                cmp = (int)idx.S[c.mid_pos + l] - (int)c.q[c.cursor + l];
+            if (cmp < 0)
+                c.lo = c.mid + 1;
+            else
+                c.hi = c.mid;
+            if (c.lo < c.hi) {
+                c.mid = c.lo + (c.hi - c.lo) / 2;
+                pf(idx.SA32.empty()
+                       ? (const void *)(idx.SA.data() + c.mid)
+                       : (const void *)(idx.SA32.data() + c.mid));
+                c.ph = ChainRun::SEARCH_SA;
+            } else {
+                c.at = c.lo;
+                if (c.at > 0)
+                    pf(idx.SA32.empty()
+                           ? (const void *)(idx.SA.data() + c.at - 1)
+                           : (const void *)(idx.SA32.data() + c.at - 1));
+                if (c.at < idx.n)
+                    pf(idx.SA32.empty()
+                           ? (const void *)(idx.SA.data() + c.at)
+                           : (const void *)(idx.SA32.data() + c.at));
+                c.ph = ChainRun::NEI_SA;
+            }
+            return true;
+        }
+        case ChainRun::NEI_SA: {
+            c.nei_l = (c.at > 0) ? idx.suf(c.at - 1) : -1;
+            c.nei_r = (c.at < idx.n) ? idx.suf(c.at) : -1;
+            if (c.nei_l >= 0) pf(idx.S.data() + c.nei_l);
+            if (c.nei_r >= 0) pf(idx.S.data() + c.nei_r);
+            c.ph = ChainRun::NEI_LCP;
+            return true;
+        }
+        case ChainRun::NEI_LCP: {
+            const i64 plen = c.qlen - c.cursor;
+            i64 left = (c.nei_l >= 0)
+                           ? idx.lcp(c.nei_l, c.q + c.cursor, plen, plen)
+                           : 0;
+            i64 right = (c.nei_r >= 0)
+                            ? idx.lcp(c.nei_r, c.q + c.cursor, plen, plen)
+                            : 0;
+            c.len = std::max(left, right);
+            if (c.len == 0 || c.len < threshold) {
+                c.probe_len = c.len;  // rejected (or no match at all)
+                c.ph = ChainRun::APPLY;
+                return true;
+            }
+            if (left == right) {  // >= 2 carriers: not unique
+                c.probe_len = c.len;
+                c.ph = ChainRun::APPLY;
+                return true;
+            }
+            const bool right_wins = (right == c.len);
+            c.wpos = right_wins ? c.nei_r : c.nei_l;
+            c.flank = right_wins ? c.at + 1 : c.at - 2;
+            if (c.flank >= 0 && c.flank < idx.n) {
+                pf(idx.SA32.empty()
+                       ? (const void *)(idx.SA.data() + c.flank)
+                       : (const void *)(idx.SA32.data() + c.flank));
+                c.ph = ChainRun::FLANK_SA;
+            } else {
+                c.probe_len = c.len;
+                c.hit_s = c.wpos;  // unique
+                c.ph = ChainRun::APPLY;
+            }
+            return true;
+        }
+        case ChainRun::FLANK_SA: {
+            c.flank_pos = idx.suf(c.flank);
+            pf(idx.S.data() + c.flank_pos);
+            c.ph = ChainRun::FLANK_LCP;
+            return true;
+        }
+        case ChainRun::FLANK_LCP: {
+            const i64 plen = c.qlen - c.cursor;
+            bool unique =
+                idx.lcp(c.flank_pos, c.q + c.cursor, plen, c.len) < c.len;
+            c.probe_len = c.len;
+            if (unique) c.hit_s = c.wpos;
+            c.ph = ChainRun::APPLY;
+            return true;
+        }
+        case ChainRun::APPLY: {
+            if (c.hit_s >= 0) {
+                i64 prev_end_s = c.prev.s + c.prev.len;
+                i64 prev_end_q = c.prev.q + c.prev.len;
+                bool collinear =
+                    c.hit_s > prev_end_s &&
+                    c.cursor - prev_end_q == c.hit_s - prev_end_s &&
+                    (c.hit_s < strand_border) == (c.prev.s < strand_border);
+                if (collinear) {
+                    c.open.len += (c.cursor - prev_end_q) + c.probe_len;
+                    c.merged = true;
+                } else {
+                    if (c.merged || c.prev.len / 2 >= threshold) {
+                        Hom closed = c.open;
+                        project_forward(closed, strand_border);
+                        c.segs.push_back(closed);
+                    }
+                    c.open = Hom{0, c.hit_s, c.hit_s, c.cursor, c.probe_len};
+                    c.merged = false;
+                }
+                c.prev = Seed{c.cursor, c.hit_s, c.probe_len};
+            }
+            c.cursor += c.probe_len + 1;
+            c.ph = ChainRun::NEXT;
+            return true;
+        }
+        case ChainRun::IDLE:
+        default:
+            return false;
+    }
+}
+
+// map queries [j0, j1) with K interleaved chains on this thread
+static void map_batch_ilp(const Index &idx, i64 threshold, const u8 *qdata,
+                          const i64 *offsets, i64 j0, i64 j1,
+                          std::vector<std::vector<Hom>> &results,
+                          i64 *progress) {
+    constexpr int K = 32;
+    ChainRun runs[K];
+    i64 next = j0;
+    int active = 0;
+
+    auto refill = [&](ChainRun &c) -> bool {
+        if (next >= j1) return false;
+        i64 j = next++;
+        c = ChainRun{};
+        c.q = qdata + offsets[j];
+        c.qlen = offsets[j + 1] - offsets[j];
+        c.qidx = j;
+        c.ph = ChainRun::NEXT;
+        return true;
+    };
+
+    for (int k = 0; k < K; k++)
+        if (refill(runs[k])) active++;
+
+    while (active > 0) {
+        for (int k = 0; k < K; k++) {
+            ChainRun &c = runs[k];
+            if (c.ph == ChainRun::IDLE) continue;
+            if (!chain_step(idx, threshold, c)) {
+                // query done: finish exactly like map_one
+                std::stable_sort(
+                    c.segs.begin(), c.segs.end(),
+                    [](const Hom &a, const Hom &b) {
+                        return a.start() < b.start();
+                    });
+                filter_overlaps_max(c.segs);
+                results[c.qidx] = std::move(c.segs);
+                if (progress) {
+#ifdef _OPENMP
+#pragma omp atomic
+#endif
+                    (*progress)++;
+                }
+                if (!refill(c)) {
+                    c.ph = ChainRun::IDLE;
+                    active--;
+                }
+            }
+        }
+    }
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -698,13 +995,38 @@ i64 phy_map_queries(void *h, const u8 *qdata, const i64 *offsets, i64 nq,
     const Index &idx = *static_cast<Index *>(h);
     std::vector<std::vector<Hom>> results(nq);
 
+    // default: interleaved chains (memory-level parallelism; ~2x per
+    // core measured) with OpenMP over per-thread query ranges.
+    // PHYLONIUM_TPU_MAP_ILP=0 restores the scalar per-query loop
+    // (parity oracle; tests compare both).
+    const char *ilp_env = std::getenv("PHYLONIUM_TPU_MAP_ILP");
+    const bool use_ilp = !(ilp_env && ilp_env[0] == '0');
+    if (use_ilp) {
+#ifdef _OPENMP
+#pragma omp parallel
+        {
+            const i64 nt = omp_get_num_threads();
+            const i64 t = omp_get_thread_num();
+            const i64 per = (nq + nt - 1) / nt;
+            const i64 j0 = t * per;
+            const i64 j1 = std::min(nq, j0 + per);
+            if (j0 < j1)
+                map_batch_ilp(idx, threshold, qdata, offsets, j0, j1,
+                              results, progress);
+        }
+#else
+        map_batch_ilp(idx, threshold, qdata, offsets, 0, nq, results,
+                      progress);
+#endif
+    } else {
 #pragma omp parallel for schedule(dynamic)
-    for (i64 j = 0; j < nq; j++) {
-        results[j] = map_one(idx, threshold, qdata + offsets[j],
-                             offsets[j + 1] - offsets[j]);
-        if (progress) {
+        for (i64 j = 0; j < nq; j++) {
+            results[j] = map_one(idx, threshold, qdata + offsets[j],
+                                 offsets[j + 1] - offsets[j]);
+            if (progress) {
 #pragma omp atomic
-            (*progress)++;
+                (*progress)++;
+            }
         }
     }
 

@@ -104,3 +104,49 @@ def test_thread_controls():
     assert num_procs() >= 1
     set_threads(1)  # must not raise
     set_threads(0)  # ignored
+
+
+def test_interleaved_mapper_matches_scalar(rng, monkeypatch):
+    """The interleaved (memory-level-parallel) batch mapper emits
+    exactly the scalar per-query loop's homologies for a diverse panel
+    (forward/reverse, draft contigs, unmappable junk)."""
+    import numpy as np
+
+    from phylonium_tpu.data.sequence import Sequence, revcomp
+    from phylonium_tpu.index.esa import ESAIndex
+
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    base = rng.choice(acgt, 20_000).tobytes()
+    queries = []
+    for k in range(23):
+        arr = np.frombuffer(base, np.uint8).copy()
+        idx = rng.random(arr.size) < 0.01 * (k % 7 + 1)
+        arr[idx] = acgt[(arr[idx] + rng.integers(1, 4, int(idx.sum()))) % 4]
+        g = arr.tobytes()
+        if k % 3 == 0:
+            third = len(g) // 3
+            g = g[:third] + revcomp(g[third : 2 * third]) + g[2 * third :]
+        if k % 5 == 0:
+            g = g[: len(g) // 2] + b"!" + g[len(g) // 2 :]
+        if k == 7:
+            g = rng.choice(acgt, 5_000).tobytes()  # unrelated
+        queries.append(np.frombuffer(g, np.uint8))
+
+    ref = ESAIndex(Sequence("ref", base), backend="native")
+    threshold = 14
+
+    monkeypatch.setenv("PHYLONIUM_TPU_MAP_ILP", "0")
+    scalar = ref._native.map_queries(queries, threshold)
+    monkeypatch.setenv("PHYLONIUM_TPU_MAP_ILP", "1")
+    ilp = ref._native.map_queries(queries, threshold)
+    assert len(scalar) == len(ilp)
+    for s_h, i_h in zip(scalar, ilp):
+        assert [
+            (h.direction, h.index_reference, h.index_reference_projected,
+             h.index_query, h.length)
+            for h in s_h
+        ] == [
+            (h.direction, h.index_reference, h.index_reference_projected,
+             h.index_query, h.length)
+            for h in i_h
+        ]
