@@ -56,7 +56,7 @@ def prewarm_shape(n: int, length: int) -> None:
 
         t = prewarm_counts(n, length, RunConfig(progress="never"))
         if t is not None:
-            t.join(timeout=300)
+            t.join(timeout=180)
     except Exception:
         pass
 
@@ -80,6 +80,55 @@ def ensure_oracle() -> bool:
     return os.path.exists(ORACLE)
 
 
+def _write_panel_files(genomes, tmp) -> list[str]:
+    files = []
+    for k, g in enumerate(genomes):
+        path = os.path.join(tmp, f"S{k:03d}.fasta")
+        with open(path, "wb") as f:
+            for ci, contig in enumerate(g.split(b"!")):
+                f.write(b">S%03d_c%d\n" % (k, ci))
+                for i in range(0, len(contig), 80):
+                    f.write(contig[i : i + 80] + b"\n")
+        files.append(path)
+    return files
+
+
+def _run_e2e_pair(files, tmp, timeout_s) -> dict:
+    """One reference-vs-ours wall-clock pair on existing files."""
+    import subprocess
+
+    def run(cmd, env=None):
+        t0 = time.time()
+        r = subprocess.run(
+            cmd, capture_output=True, timeout=timeout_s, cwd=tmp, env=env
+        )
+        return time.time() - t0, r
+
+    try:
+        t_ref, r_ref = run([ORACLE, *files])
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
+        t_tpu, r_tpu = run(
+            [sys.executable, "-m", "phylonium_tpu", *files], env=env
+        )
+    except subprocess.TimeoutExpired:
+        return {}
+    if r_ref.returncode or r_tpu.returncode:
+        sys.stderr.write(
+            f"e2e failed: ref rc={r_ref.returncode} "
+            f"tpu rc={r_tpu.returncode} "
+            f"stderr={r_tpu.stderr[-500:]!r}\n"
+        )
+        return {}
+    return {
+        "e2e_ref_s": round(t_ref, 2),
+        "e2e_tpu_s": round(t_tpu, 2),
+        "e2e_speedup": round(t_ref / t_tpu, 3),
+        # byte equality — the same invariant the test suite holds
+        "e2e_identical": r_ref.stdout == r_tpu.stdout,
+    }
+
+
 def end_to_end_vs_reference(genomes, timeout_s: int = 300) -> dict:
     """Wall-clock both CLIs on identical FASTA files; byte-compare output.
 
@@ -87,70 +136,39 @@ def end_to_end_vs_reference(genomes, timeout_s: int = 300) -> dict:
     and cannot be built (it needs /root/reference mounted).
     """
     import shutil
-    import subprocess
     import tempfile
 
     if not ensure_oracle():
         return {}
     tmp = tempfile.mkdtemp(prefix="phylonium_bench_")
     try:
-        files = []
-        for k, g in enumerate(genomes):
-            path = os.path.join(tmp, f"S{k:03d}.fasta")
-            with open(path, "wb") as f:
-                for ci, contig in enumerate(g.split(b"!")):
-                    f.write(b">S%03d_c%d\n" % (k, ci))
-                    for i in range(0, len(contig), 80):
-                        f.write(contig[i : i + 80] + b"\n")
-            files.append(path)
-
-        def run(cmd):
-            t0 = time.time()
-            r = subprocess.run(
-                cmd, capture_output=True, timeout=timeout_s, cwd=tmp
-            )
-            return time.time() - t0, r
-
-        try:
-            t_ref, r_ref = run([ORACLE, *files])
-            env = dict(os.environ)
-            env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
-            t0 = time.time()
-            r_tpu = subprocess.run(
-                [sys.executable, "-m", "phylonium_tpu", *files],
-                capture_output=True, timeout=timeout_s, cwd=tmp, env=env,
-            )
-            t_tpu = time.time() - t0
-        except subprocess.TimeoutExpired:
-            return {}
-        if r_ref.returncode or r_tpu.returncode:
-            sys.stderr.write(
-                f"e2e failed: ref rc={r_ref.returncode} "
-                f"tpu rc={r_tpu.returncode} "
-                f"stderr={r_tpu.stderr[-500:]!r}\n"
-            )
-            return {}
-
-        return {
-            "e2e_ref_s": round(t_ref, 2),
-            "e2e_tpu_s": round(t_tpu, 2),
-            "e2e_speedup": round(t_ref / t_tpu, 3),
-            # byte equality — the same invariant the test suite holds
-            "e2e_identical": r_ref.stdout == r_tpu.stdout,
-        }
+        return _run_e2e_pair(_write_panel_files(genomes, tmp), tmp,
+                             timeout_s)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
 def e2e_tier(genomes, runs: int, timeout_s: int) -> dict:
-    """Run the e2e pair `runs` times; report every sample (host CPU and
-    tunnel swing ~10x between runs here — single numbers lie) plus the
-    min-based speedup, byte-identity AND-ed over all runs."""
+    """Run the e2e pair `runs` times on ONE written panel (writing a
+    multi-hundred-MB panel per run wasted minutes); report every sample
+    (host CPU and tunnel swing ~10x between runs here — single numbers
+    lie) plus the min-based speedup, byte-identity AND-ed over all runs.
+    """
+    import shutil
+    import tempfile
+
+    if not ensure_oracle():
+        return {}
     samples = []
-    for _ in range(runs):
-        r = end_to_end_vs_reference(genomes, timeout_s)
-        if r:
-            samples.append(r)
+    tmp = tempfile.mkdtemp(prefix="phylonium_bench_")
+    try:
+        files = _write_panel_files(genomes, tmp)
+        for _ in range(runs):
+            r = _run_e2e_pair(files, tmp, timeout_s)
+            if r:
+                samples.append(r)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     if not samples:
         return {}
     best = min(s["e2e_tpu_s"] for s in samples)
@@ -540,6 +558,22 @@ def main() -> int:
     return 0
 
 
+_T0 = time.time()
+# soft wall-clock budget for the whole bench: expensive optional stages
+# are skipped (with a recorded note) rather than letting the run exceed
+# what a driver plausibly tolerates
+_BUDGET_S = float(os.environ.get("PHYLONIUM_TPU_BENCH_BUDGET", "1800"))
+
+
+def _elapsed() -> float:
+    return time.time() - _T0
+
+
+def _mark(label: str) -> None:
+    sys.stderr.write(f"[bench +{_elapsed():7.1f}s] {label}\n")
+    sys.stderr.flush()
+
+
 def _run_bench(n, length, detail, failures):
     import tempfile
 
@@ -551,6 +585,7 @@ def _run_bench(n, length, detail, failures):
     from phylonium_tpu.data.sequence import Sequence, gc_content
     from phylonium_tpu.index.esa import ESAIndex
 
+    _mark("simulate")
     t0 = time.time()
     genomes = simulate_panel(n, length)
     queries = [Sequence(f"S{k}", g) for k, g in enumerate(genomes)]
@@ -558,6 +593,7 @@ def _run_bench(n, length, detail, failures):
 
     cfg = RunConfig(progress="never")
 
+    _mark("index+map+pileup")
     t0 = time.time()
     ref = ESAIndex(queries[0])
     detail["t_index"] = round(time.time() - t0, 3)
@@ -606,6 +642,7 @@ def _run_bench(n, length, detail, failures):
         "host" if _auto_prefers_host(n, length, cfg) else "device"
     )
     prewarm_counts(n, length, cfg)
+    _mark("production compare")
     t0 = time.time()
     subs, homs = pair_counts(states, cfg)
     t_compare_first = time.time() - t0
@@ -629,20 +666,23 @@ def _run_bench(n, length, detail, failures):
     # AND again at the very end of the bench (after the minutes-long
     # e2e runs) and take the overall min — each sample is a 10-deep
     # on-device dependency chain that async dispatch cannot fake
+    _mark("micro: steady (1st burst)")
     steady_samples = list(
         run_micro(
-            "steady", {"npy": npy}, failures, timeout_s=600
+            "steady", {"npy": npy}, failures, timeout_s=420
         ).get("steady_samples", [])
     )
 
+    _mark("micro: anchor_extend")
     detail["anchor_extend_gbp_s"] = run_micro(
         "anchor_extend",
         {"genome": g0, "length": length},
         failures,
-        timeout_s=600,
+        timeout_s=420,
     ).get("anchor_extend_gbp_s")
+    _mark("micro: cross512")
     detail["cross512_tbp_s"] = run_micro(
-        "cross512", {"length": length}, failures, timeout_s=600
+        "cross512", {"length": length}, failures, timeout_s=420
     ).get("cross512_tbp_s")
 
     # host oracle baseline: the reference-style byte loop on a sample of
@@ -671,6 +711,7 @@ def _run_bench(n, length, detail, failures):
     # forced-device golden parity: full CLI with --count-backend pallas
     # byte-compared against the reference binary (TPU only)
     if use_pallas:
+        _mark("forced-device parity")
         detail["forced_device_parity"] = guard(
             "forced_device_parity", forced_device_parity, failures
         )
@@ -679,6 +720,7 @@ def _run_bench(n, length, detail, failures):
     # same panel (same machine, same files, byte-compared matrices);
     # a second, larger panel shows the O(N^2) comparison-phase scaling
     if os.environ.get("PHYLONIUM_TPU_BENCH_E2E", "1") != "0":
+        _mark("e2e tier1")
         tier1 = guard(
             "e2e", lambda: e2e_tier(genomes, runs=3, timeout_s=300),
             failures, {},
@@ -696,6 +738,16 @@ def _run_bench(n, length, detail, failures):
         if os.environ.get("PHYLONIUM_TPU_BENCH_TIER3", "1") != "0":
             tiers.append((600, 1_000_000, 1, 900, 67))
         for large_n, tier_len, runs, tmo, seed in tiers:
+            # the large tiers are the expensive tail: respect the
+            # overall budget rather than risking a driver timeout
+            need = tmo + 120
+            if _elapsed() > _BUDGET_S - need:
+                failures[f"e2e_n{large_n}"] = (
+                    f"skipped: {_elapsed():.0f}s elapsed, needs ~{need}s"
+                )
+                _mark(f"SKIP e2e tier n={large_n} (budget)")
+                continue
+            _mark(f"e2e tier n={large_n} x {tier_len}")
             detail[f"e2e_n{large_n}_dispatch"] = (
                 "host"
                 if _auto_prefers_host(large_n, tier_len, cfg)
@@ -721,11 +773,14 @@ def _run_bench(n, length, detail, failures):
             )
 
     # second steady-state burst, minutes after the first (see above)
-    steady_samples += list(
-        run_micro(
-            "steady", {"npy": npy}, failures, timeout_s=600, retries=0
-        ).get("steady_samples", [])
-    )
+    if _elapsed() < _BUDGET_S - 90:
+        _mark("micro: steady (2nd burst)")
+        steady_samples += list(
+            run_micro(
+                "steady", {"npy": npy}, failures, timeout_s=300,
+                retries=0,
+            ).get("steady_samples", [])
+        )
 
     import shutil
 
