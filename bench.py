@@ -183,7 +183,7 @@ def e2e_tier(genomes, runs: int, timeout_s: int) -> dict:
     }
 
 
-def forced_device_parity() -> bool | None:
+def forced_device_parity(timeout_s: int = 300) -> bool | None:
     """Full CLI with --count-backend pallas on a small panel, byte-
     compared against the reference binary — the forced-device golden
     check the opt-in real-TPU suite runs, executed on every bench run
@@ -220,7 +220,7 @@ def forced_device_parity() -> bool | None:
                 sys.executable, "-m", "phylonium_tpu",
                 "--progress=never", "--count-backend=pallas", *files,
             ],
-            capture_output=True, timeout=300, cwd=tmp, env=env,
+            capture_output=True, timeout=timeout_s, cwd=tmp, env=env,
         )
         if r_ref.returncode or r_tpu.returncode:
             sys.stderr.write(
@@ -661,6 +661,17 @@ def _run_bench(n, length, detail, failures):
 
     pairs = n * (n - 1) // 2
 
+    # Stage ordering is by VALUE under the wall-clock budget: the
+    # primary steady metric first, then the driver-visible e2e tiers,
+    # then the secondary microbenches and the parity check — so a
+    # degraded tunnel window starves decorations, never the record.
+    # Every subprocess timeout is clamped to the remaining budget.
+    def _rem() -> float:
+        return max(0.0, _BUDGET_S - _elapsed())
+
+    def _clamp(t: float, reserve: float = 60.0) -> int:
+        return int(max(60.0, min(t, _rem() - reserve)))
+
     # host + tunnel swing ~10x and degraded windows last minutes, so a
     # single burst of samples can land entirely inside one; sample now
     # AND again at the very end of the bench (after the minutes-long
@@ -669,21 +680,11 @@ def _run_bench(n, length, detail, failures):
     _mark("micro: steady (1st burst)")
     steady_samples = list(
         run_micro(
-            "steady", {"npy": npy}, failures, timeout_s=420
+            "steady", {"npy": npy}, failures,
+            timeout_s=_clamp(420),
+            retries=1 if _rem() > 1200 else 0,
         ).get("steady_samples", [])
     )
-
-    _mark("micro: anchor_extend")
-    detail["anchor_extend_gbp_s"] = run_micro(
-        "anchor_extend",
-        {"genome": g0, "length": length},
-        failures,
-        timeout_s=420,
-    ).get("anchor_extend_gbp_s")
-    _mark("micro: cross512")
-    detail["cross512_tbp_s"] = run_micro(
-        "cross512", {"length": length}, failures, timeout_s=420
-    ).get("cross512_tbp_s")
 
     # host oracle baseline: the reference-style byte loop on a sample of
     # column range, extrapolated (numpy-vectorized stand-in for seqcmp)
@@ -708,21 +709,14 @@ def _run_bench(n, length, detail, failures):
     host_pairs_per_s = done / (t_host_sample * (length / sample_cols))
     detail["host_oracle_pairs_per_s"] = round(host_pairs_per_s, 3)
 
-    # forced-device golden parity: full CLI with --count-backend pallas
-    # byte-compared against the reference binary (TPU only)
-    if use_pallas:
-        _mark("forced-device parity")
-        detail["forced_device_parity"] = guard(
-            "forced_device_parity", forced_device_parity, failures
-        )
-
     # optional end-to-end comparison vs the reference binary on the
     # same panel (same machine, same files, byte-compared matrices);
     # a second, larger panel shows the O(N^2) comparison-phase scaling
     if os.environ.get("PHYLONIUM_TPU_BENCH_E2E", "1") != "0":
         _mark("e2e tier1")
         tier1 = guard(
-            "e2e", lambda: e2e_tier(genomes, runs=3, timeout_s=300),
+            "e2e",
+            lambda: e2e_tier(genomes, runs=3, timeout_s=_clamp(300)),
             failures, {},
         )
         detail.update(tier1)
@@ -772,13 +766,49 @@ def _run_bench(n, length, detail, failures):
                 }
             )
 
+    # secondary device microbenches + the forced-device parity check —
+    # decorations relative to the record above, so they run on whatever
+    # budget the tiers left
+    if _rem() > 150:
+        _mark("micro: anchor_extend")
+        detail["anchor_extend_gbp_s"] = run_micro(
+            "anchor_extend",
+            {"genome": g0, "length": length},
+            failures,
+            timeout_s=_clamp(420),
+            retries=0,
+        ).get("anchor_extend_gbp_s")
+    else:
+        failures["anchor_extend"] = "skipped: budget"
+    if _rem() > 150:
+        _mark("micro: cross512")
+        detail["cross512_tbp_s"] = run_micro(
+            "cross512", {"length": length}, failures,
+            timeout_s=_clamp(420), retries=0,
+        ).get("cross512_tbp_s")
+    else:
+        failures["cross512"] = "skipped: budget"
+
+    # forced-device golden parity: full CLI with --count-backend pallas
+    # byte-compared against the reference binary (TPU only)
+    if use_pallas:
+        if _rem() > 200:
+            _mark("forced-device parity")
+            detail["forced_device_parity"] = guard(
+                "forced_device_parity",
+                lambda: forced_device_parity(timeout_s=_clamp(300)),
+                failures,
+            )
+        else:
+            failures["forced_device_parity"] = "skipped: budget"
+
     # second steady-state burst, minutes after the first (see above)
-    if _elapsed() < _BUDGET_S - 90:
+    if _rem() > 90:
         _mark("micro: steady (2nd burst)")
         steady_samples += list(
             run_micro(
-                "steady", {"npy": npy}, failures, timeout_s=300,
-                retries=0,
+                "steady", {"npy": npy}, failures,
+                timeout_s=_clamp(300), retries=0,
             ).get("steady_samples", [])
         )
 
