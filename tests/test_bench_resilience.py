@@ -37,3 +37,27 @@ def test_bench_survives_injected_micro_aborts():
     assert detail["value_source"].startswith("t_compare_first")
     # the pipeline phases themselves ran
     assert detail["t_map"] > 0
+
+
+def test_bench_budget_zero_still_prints_json():
+    """With an exhausted budget the optional stages are skipped (the
+    primary steady metric still gets a floored attempt), and the
+    one-JSON-line contract holds."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
+    env["PHYLONIUM_TPU_PLATFORM"] = "cpu"
+    env["PHYLONIUM_TPU_BENCH_E2E"] = "0"
+    env["PHYLONIUM_TPU_BENCH_BUDGET"] = "0"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "6", "8192"],
+        capture_output=True, timeout=300, env=env, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-1000:]
+    lines = [
+        ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")
+    ]
+    parsed = json.loads(lines[-1])
+    assert parsed["value"] > 0
+    skips = parsed["detail"]["micro_failures"]
+    assert skips.get("anchor_extend", "").startswith("skipped")
+    assert skips.get("cross512", "").startswith("skipped")
