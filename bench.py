@@ -148,11 +148,14 @@ def end_to_end_vs_reference(genomes, timeout_s: int = 300) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def e2e_tier(genomes, runs: int, timeout_s: int) -> dict:
+def e2e_tier(genomes, runs: int, timeout_s: int,
+             deadline_s: float | None = None) -> dict:
     """Run the e2e pair `runs` times on ONE written panel (writing a
     multi-hundred-MB panel per run wasted minutes); report every sample
     (host CPU and tunnel swing ~10x between runs here — single numbers
     lie) plus the min-based speedup, byte-identity AND-ed over all runs.
+    ``deadline_s`` (bench-elapsed seconds) stops starting new pairs and
+    clamps each subprocess so a tier cannot blow past the budget.
     """
     import shutil
     import tempfile
@@ -164,7 +167,13 @@ def e2e_tier(genomes, runs: int, timeout_s: int) -> dict:
     try:
         files = _write_panel_files(genomes, tmp)
         for _ in range(runs):
-            r = _run_e2e_pair(files, tmp, timeout_s)
+            tmo = timeout_s
+            if deadline_s is not None:
+                left = deadline_s - _elapsed()
+                if left < 90:
+                    break  # budget: no room for another pair
+                tmo = int(min(timeout_s, left / 2))
+            r = _run_e2e_pair(files, tmp, tmo)
             if r:
                 samples.append(r)
     finally:
@@ -525,10 +534,16 @@ def guard(label: str, fn, failures: dict, default=None):
 
 
 def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 29
-    length = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000_000
-
     failures: dict[str, str] = {}
+    n, length = 29, 5_000_000
+    try:
+        if len(sys.argv) > 1:
+            n = int(sys.argv[1])
+        if len(sys.argv) > 2:
+            length = int(sys.argv[2])
+    except ValueError as e:  # the JSON line must print regardless
+        failures["argv"] = f"{e!r}; using defaults 29 x 5 Mbp"
+
     detail: dict = {"n_genomes": n, "genome_length": length}
     pairs = n * (n - 1) // 2
     value = 0.0
@@ -716,7 +731,10 @@ def _run_bench(n, length, detail, failures):
         _mark("e2e tier1")
         tier1 = guard(
             "e2e",
-            lambda: e2e_tier(genomes, runs=3, timeout_s=_clamp(300)),
+            lambda: e2e_tier(
+                genomes, runs=3, timeout_s=300,
+                deadline_s=_BUDGET_S * 0.45,
+            ),
             failures, {},
         )
         detail.update(tier1)
@@ -755,6 +773,7 @@ def _run_bench(n, length, detail, failures):
                         simulate_panel(ln, ll, seed=s),
                         runs=r,
                         timeout_s=t,
+                        deadline_s=_BUDGET_S,
                     )
                 ),
                 failures, {},

@@ -215,12 +215,15 @@ ROW_BLOCK_THRESHOLD = 512
 _TRANSIENT_MARKERS = (
     "ABORTED",
     "UNAVAILABLE",
-    "INTERNAL",
     "DEADLINE_EXCEEDED",
     "RESOURCE_EXHAUSTED",
     "backend error",
     "Socket closed",
     "Connection reset",
+    # NOT bare "INTERNAL": Mosaic/XLA compiler defects surface as
+    # INTERNAL RuntimeErrors and must keep their tracebacks; only the
+    # tunnelled compile service's transport faults are transient
+    "INTERNAL: http",
 )
 
 # fault injection for tests/bench: "N" makes the next N device counting
@@ -485,10 +488,24 @@ def pair_counts(
     # explicit 'pallas'/'device' names the single-device path and must
     # actually run it (reproducibility/debugging)
     if (backend == "auto" or cfg.mesh) and _mesh_device_count(cfg) > 1:
-        result = _resilient_device_counts(
-            lambda: _pair_counts_mesh(states, cfg),
-            states, cfg, progress, "mesh",
-        )
+        # multi-PROCESS runs must not retry/fall back per process: a
+        # lone process abandoning the collective would desync or hang
+        # its peers mid-psum.  Single-process meshes get the full
+        # retry-then-host resilience.
+        multiproc = False
+        try:
+            from jax._src import distributed
+
+            multiproc = (distributed.global_state.num_processes or 1) > 1
+        except Exception:
+            pass
+        if multiproc:
+            result = _pair_counts_mesh(states, cfg)
+        else:
+            result = _resilient_device_counts(
+                lambda: _pair_counts_mesh(states, cfg),
+                states, cfg, progress, "mesh",
+            )
         if progress is not None:
             # the sharded compare is one collective program; nothing
             # incremental to report, but complete the bar honestly
@@ -587,6 +604,17 @@ def _should_stream(n: int, ref_len: int, cfg: RunConfig, ref) -> bool:
     if env == "0":
         return False
     if cfg.count_backend != "auto" or cfg.mesh:
+        return False
+    from phylonium_tpu.core.stream import DEFAULT_GROUP_ROWS
+
+    group = int(
+        os.environ.get("PHYLONIUM_TPU_STREAM_GROUP") or DEFAULT_GROUP_ROWS
+    )
+    if n <= group and env != "force":
+        # a single feed group only finishes mapping when mapping is
+        # over — nothing can overlap, shipped_fraction is 0 by
+        # construction, and the serial path's host race handles this
+        # panel class strictly better
         return False
     if cfg.complete_deletion or cfg.print_positions or cfg.checkpoint_dir:
         return False

@@ -54,6 +54,15 @@ def test_transient_error_classifier():
     assert pipe._is_transient_device_error(
         RuntimeError("UNAVAILABLE: Socket closed")
     )
+    # the tunnelled compile service's transport faults are transient...
+    assert pipe._is_transient_device_error(
+        RuntimeError("INTERNAL: http://127.0.0.1:8083/remote_compile: "
+                     "HTTP 500: tpu_compile_helper subprocess exit")
+    )
+    # ...but compiler INTERNAL defects are NOT — they must raise
+    assert not pipe._is_transient_device_error(
+        RuntimeError("INTERNAL: Mosaic failed to compile module")
+    )
     # genuine defects re-raise
     assert not pipe._is_transient_device_error(ValueError("ABORTED"))
     assert not pipe._is_transient_device_error(
