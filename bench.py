@@ -785,9 +785,22 @@ def _run_bench(n, length, detail, failures):
                 }
             )
 
-    # secondary device microbenches + the forced-device parity check —
-    # decorations relative to the record above, so they run on whatever
-    # budget the tiers left
+    # forced-device golden parity: full CLI with --count-backend pallas
+    # byte-compared against the reference binary (TPU only) — more
+    # valuable than the secondary kernel numbers, so it runs first
+    if use_pallas:
+        if _rem() > 200:
+            _mark("forced-device parity")
+            detail["forced_device_parity"] = guard(
+                "forced_device_parity",
+                lambda: forced_device_parity(timeout_s=_clamp(300)),
+                failures,
+            )
+        else:
+            failures["forced_device_parity"] = "skipped: budget"
+
+    # secondary device microbenches — decorations relative to the
+    # record above, so they run on whatever budget the tiers left
     if _rem() > 150:
         _mark("micro: anchor_extend")
         detail["anchor_extend_gbp_s"] = run_micro(
@@ -807,19 +820,6 @@ def _run_bench(n, length, detail, failures):
         ).get("cross512_tbp_s")
     else:
         failures["cross512"] = "skipped: budget"
-
-    # forced-device golden parity: full CLI with --count-backend pallas
-    # byte-compared against the reference binary (TPU only)
-    if use_pallas:
-        if _rem() > 200:
-            _mark("forced-device parity")
-            detail["forced_device_parity"] = guard(
-                "forced_device_parity",
-                lambda: forced_device_parity(timeout_s=_clamp(300)),
-                failures,
-            )
-        else:
-            failures["forced_device_parity"] = "skipped: budget"
 
     # second steady-state burst, minutes after the first (see above)
     if _rem() > 90:
