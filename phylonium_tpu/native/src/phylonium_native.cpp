@@ -14,12 +14,20 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <vector>
 
 #ifdef _OPENMP
 #include <omp.h>
+#else
+#include <chrono>
+static double omp_get_wtime() {
+    return std::chrono::duration<double>(
+               std::chrono::steady_clock::now().time_since_epoch())
+        .count();
+}
 #endif
 
 using i64 = int64_t;
@@ -645,11 +653,24 @@ static std::vector<Hom> map_one(const Index &idx, i64 threshold, const u8 *q,
 // Python oracle in tests/test_native.py / test_oracle_parity.py).
 // ---------------------------------------------------------------------------
 
+// env-gated mapping statistics (PHYLONIUM_TPU_NATIVE_TIMING): per-query
+// counters accumulate into these under omp atomic at query completion
+struct MapStats {
+    i64 probes = 0;       // probe starts (NEXT entered with work)
+    i64 diag_lcps = 0;    // diagonal fast-path lcps
+    i64 diag_hits = 0;    // diag probes accepted (skipped full search)
+    i64 searches = 0;     // full bucket+binary searches
+    i64 bsteps = 0;       // binary-search compare steps
+    i64 lcp_bytes = 0;    // bytes scanned by all lcps
+};
+static MapStats g_map_stats;
+
 struct ChainRun {
     // which query
     const u8 *q = nullptr;
     i64 qlen = 0;
     i64 qidx = -1;
+    MapStats st;
 
     // chain state (mirrors chain_anchors' locals exactly)
     Seed prev;
@@ -661,89 +682,150 @@ struct ChainRun {
     // probe in flight
     enum Ph : u8 {
         NEXT, DIAG, BUCKET, SEARCH_SA, SEARCH_CMP,
-        NEI_SA, NEI_LCP, FLANK_SA, FLANK_LCP, APPLY, IDLE,
+        NEI_SA, NEI_LCP, FLANK_SA, FLANK_LCP,
+        BSCAN_SA, BSCAN_LCP, APPLY, IDLE,
     } ph = IDLE;
     i64 lo = 0, hi = 0, skip = 0, mid = 0, at = 0;
     i64 mid_pos = 0, nei_l = 0, nei_r = 0, flank = 0, flank_pos = 0;
     i64 len = 0, wpos = 0, diag_s = 0;
     i64 probe_len = 0, hit_s = 0;
     bool unique = false;
+
+    // bucket-scan probe: small buckets answer (len, pos, unique) by
+    // scanning every member with all text misses in flight at once —
+    // ~3 dependent-miss rounds instead of the binary search's ~10
+    static constexpr i64 BSCAN_CAP = 32;
+    i64 bpos[BSCAN_CAP];
 };
 
 static inline void pf(const void *p) { __builtin_prefetch(p, 0, 1); }
+
+// Fold the probe's verdict into the chain state (chain_anchors' accept/
+// merge/advance block; pure compute, no memory waits worth a yield).
+static inline void apply_probe(const Index &idx, i64 threshold,
+                               ChainRun &c) {
+    const i64 strand_border = idx.n / 2;
+    if (c.hit_s >= 0) {
+        i64 prev_end_s = c.prev.s + c.prev.len;
+        i64 prev_end_q = c.prev.q + c.prev.len;
+        bool collinear =
+            c.hit_s > prev_end_s &&
+            c.cursor - prev_end_q == c.hit_s - prev_end_s &&
+            (c.hit_s < strand_border) == (c.prev.s < strand_border);
+        if (collinear) {
+            c.open.len += (c.cursor - prev_end_q) + c.probe_len;
+            c.merged = true;
+        } else {
+            if (c.merged || c.prev.len / 2 >= threshold) {
+                Hom closed = c.open;
+                project_forward(closed, strand_border);
+                c.segs.push_back(closed);
+            }
+            c.open = Hom{0, c.hit_s, c.hit_s, c.cursor, c.probe_len};
+            c.merged = false;
+        }
+        c.prev = Seed{c.cursor, c.hit_s, c.probe_len};
+    }
+    c.cursor += c.probe_len + 1;
+}
+
+// Kick off the next probe: issue its first-round prefetches (diag text
+// and, speculatively, the bucket entry — the diag verdict isn't known
+// yet, and a failed diag goes straight to the bucket next round).
+// Returns false when the query is fully mapped (end-of-query close-out
+// done; caller refills the slot).
+static inline bool start_probe(const Index &idx, i64 threshold,
+                               ChainRun &c) {
+    if (c.cursor >= c.qlen) {
+        const i64 strand_border = idx.n / 2;
+        // identical sequences: one seed covered the whole query
+        if (c.prev.len >= c.qlen)
+            c.open = Hom{0, c.prev.s, c.prev.s, 0, c.qlen};
+        if (c.merged || c.prev.len / 2 >= threshold) {
+            project_forward(c.open, strand_border);
+            c.segs.push_back(c.open);
+        }
+        return false;
+    }
+    c.st.probes++;
+    c.probe_len = 0;
+    c.hit_s = -1;
+    c.diag_s = c.prev.s + (c.cursor - c.prev.q);
+    i64 code = idx.code_of(c.q + c.cursor, c.qlen - c.cursor);
+    c.mid = code;  // stash for the bucket round
+    if (idx.has_buckets && code >= 0)
+        pf(idx.bucket_lo.data() + 2 * code);
+    bool diag_ok = c.diag_s < idx.n &&
+                   c.cursor - (c.prev.q + c.prev.len) <= threshold;
+    if (diag_ok) {
+        pf(idx.S.data() + c.diag_s);
+        pf(idx.S.data() + c.diag_s + 64);
+        pf(idx.S.data() + c.diag_s + 128);
+        c.ph = ChainRun::DIAG;
+    } else {
+        c.ph = ChainRun::BUCKET;
+    }
+    return true;
+}
+
+// Route a full probe into the bucket-scan or binary-search pipeline.
+// Reads the bucket entry (prefetched by start_probe a round earlier)
+// and issues the next round's SA prefetches.
+static inline void enter_bucket(const Index &idx, ChainRun &c) {
+    c.st.searches++;
+    i64 code = c.mid;
+    c.lo = 0;
+    c.hi = idx.n;
+    c.skip = 0;
+    if (idx.has_buckets && code >= 0) {
+        i64 blo = idx.bucket_lo[2 * code];
+        if (blo >= 0) {
+            c.lo = blo;
+            c.hi = idx.bucket_lo[2 * code + 1];
+            c.skip = Index::KMER;
+            if (c.hi - c.lo <= ChainRun::BSCAN_CAP) {
+                // whole bucket fits the scan probe: kick off the
+                // SA-range loads (contiguous, 1-2 lines)
+                for (i64 i = c.lo; i < c.hi; i += 16)
+                    pf(idx.SA32.empty()
+                           ? (const void *)(idx.SA.data() + i)
+                           : (const void *)(idx.SA32.data() + i));
+                c.ph = ChainRun::BSCAN_SA;
+                return;
+            }
+        }
+    }
+    c.mid = c.lo + (c.hi - c.lo) / 2;
+    pf(idx.SA32.empty() ? (const void *)(idx.SA.data() + c.mid)
+                        : (const void *)(idx.SA32.data() + c.mid));
+    c.ph = ChainRun::SEARCH_SA;
+}
 
 // advance one chain by one micro-step; returns false when the query is
 // fully mapped (caller refills the slot)
 static bool chain_step(const Index &idx, i64 threshold, ChainRun &c) {
     const i64 strand_border = idx.n / 2;
     switch (c.ph) {
-        case ChainRun::NEXT: {
-            if (c.cursor >= c.qlen) {
-                // identical sequences: one seed covered the whole query
-                if (c.prev.len >= c.qlen)
-                    c.open = Hom{0, c.prev.s, c.prev.s, 0, c.qlen};
-                if (c.merged || c.prev.len / 2 >= threshold) {
-                    project_forward(c.open, strand_border);
-                    c.segs.push_back(c.open);
-                }
-                return false;
-            }
-            c.probe_len = 0;
-            c.hit_s = -1;
-            c.diag_s = c.prev.s + (c.cursor - c.prev.q);
-            bool diag_ok = c.diag_s < idx.n &&
-                           c.cursor - (c.prev.q + c.prev.len) <= threshold;
-            if (diag_ok) {
-                pf(idx.S.data() + c.diag_s);
-                pf(idx.S.data() + c.diag_s + 64);
-                pf(idx.S.data() + c.diag_s + 128);
-                c.ph = ChainRun::DIAG;
-            } else {
-                i64 code = idx.code_of(c.q + c.cursor, c.qlen - c.cursor);
-                c.mid = code;  // stash for BUCKET
-                if (idx.has_buckets && code >= 0)
-                    pf(idx.bucket_lo.data() + 2 * code);
-                c.ph = ChainRun::BUCKET;
-            }
-            return true;
-        }
+        case ChainRun::NEXT:
+            return start_probe(idx, threshold, c);
         case ChainRun::DIAG: {
             c.probe_len = idx.lcp(c.diag_s, c.q + c.cursor,
                                   c.qlen - c.cursor, c.qlen - c.cursor);
+            c.st.diag_lcps++;
+            c.st.lcp_bytes += c.probe_len;
             if (c.probe_len >= threshold) {
+                c.st.diag_hits++;
                 c.hit_s = c.diag_s;
-                c.ph = ChainRun::APPLY;
-            } else {
-                i64 code = idx.code_of(c.q + c.cursor, c.qlen - c.cursor);
-                c.mid = code;
-                if (idx.has_buckets && code >= 0)
-                    pf(idx.bucket_lo.data() + 2 * code);
-                c.ph = ChainRun::BUCKET;
+                apply_probe(idx, threshold, c);
+                return start_probe(idx, threshold, c);
             }
+            // failed diag: the bucket entry was prefetched at probe
+            // start, so route into the search pipeline right now
+            enter_bucket(idx, c);
             return true;
         }
         case ChainRun::BUCKET: {
-            i64 code = c.mid;
-            c.lo = 0;
-            c.hi = idx.n;
-            c.skip = 0;
-            if (idx.has_buckets && code >= 0) {
-                i64 blo = idx.bucket_lo[2 * code];
-                if (blo >= 0) {
-                    c.lo = blo;
-                    c.hi = idx.bucket_lo[2 * code + 1];
-                    c.skip = Index::KMER;
-                }
-            }
-            if (c.lo < c.hi) {
-                c.mid = c.lo + (c.hi - c.lo) / 2;
-                pf(idx.SA32.empty()
-                       ? (const void *)(idx.SA.data() + c.mid)
-                       : (const void *)(idx.SA32.data() + c.mid));
-                c.ph = ChainRun::SEARCH_SA;
-            } else {  // n == 0 cannot happen; defensive
-                c.ph = ChainRun::APPLY;
-            }
+            enter_bucket(idx, c);
             return true;
         }
         case ChainRun::SEARCH_SA: {
@@ -753,9 +835,11 @@ static bool chain_step(const Index &idx, i64 threshold, ChainRun &c) {
             return true;
         }
         case ChainRun::SEARCH_CMP: {
+            c.st.bsteps++;
             const i64 plen = c.qlen - c.cursor;
             i64 l = idx.lcp_from(c.mid_pos, c.q + c.cursor, plen, plen,
                                  c.skip);
+            c.st.lcp_bytes += l;
             int cmp;
             if (l == plen)
                 cmp = 0;
@@ -803,6 +887,7 @@ static bool chain_step(const Index &idx, i64 threshold, ChainRun &c) {
             i64 right = (c.nei_r >= 0)
                             ? idx.lcp(c.nei_r, c.q + c.cursor, plen, plen)
                             : 0;
+            c.st.lcp_bytes += left + right;
             c.len = std::max(left, right);
             if (c.len == 0 || c.len < threshold) {
                 c.probe_len = c.len;  // rejected (or no match at all)
@@ -829,6 +914,42 @@ static bool chain_step(const Index &idx, i64 threshold, ChainRun &c) {
             }
             return true;
         }
+        case ChainRun::BSCAN_SA: {
+            // read every member's text position; fire all text misses
+            const i64 b = c.hi - c.lo;
+            for (i64 i = 0; i < b; i++) {
+                c.bpos[i] = idx.suf(c.lo + i);
+                pf(idx.S.data() + c.bpos[i] + c.skip);
+            }
+            c.ph = ChainRun::BSCAN_LCP;
+            return true;
+        }
+        case ChainRun::BSCAN_LCP: {
+            // all attainers of the max lcp share >= KMER bytes with q,
+            // so they are exactly in this bucket: max/argmax/multiplicity
+            // over the members reproduce the binary path's (len, pos,
+            // unique) bit-exactly (suffixes outside share < KMER)
+            const i64 plen = c.qlen - c.cursor;
+            const i64 b = c.hi - c.lo;
+            i64 best = 0, best_pos = -1, best_count = 0;
+            for (i64 i = 0; i < b; i++) {
+                i64 l = idx.lcp_from(c.bpos[i], c.q + c.cursor, plen, plen,
+                                     c.skip);
+                c.st.lcp_bytes += l - c.skip;
+                if (l > best) {
+                    best = l;
+                    best_pos = c.bpos[i];
+                    best_count = 1;
+                } else if (l == best) {
+                    best_count++;
+                }
+            }
+            c.st.bsteps += b;
+            c.probe_len = best;
+            if (best >= threshold && best_count == 1) c.hit_s = best_pos;
+            apply_probe(idx, threshold, c);
+            return start_probe(idx, threshold, c);
+        }
         case ChainRun::FLANK_SA: {
             c.flank_pos = idx.suf(c.flank);
             pf(idx.S.data() + c.flank_pos);
@@ -845,30 +966,8 @@ static bool chain_step(const Index &idx, i64 threshold, ChainRun &c) {
             return true;
         }
         case ChainRun::APPLY: {
-            if (c.hit_s >= 0) {
-                i64 prev_end_s = c.prev.s + c.prev.len;
-                i64 prev_end_q = c.prev.q + c.prev.len;
-                bool collinear =
-                    c.hit_s > prev_end_s &&
-                    c.cursor - prev_end_q == c.hit_s - prev_end_s &&
-                    (c.hit_s < strand_border) == (c.prev.s < strand_border);
-                if (collinear) {
-                    c.open.len += (c.cursor - prev_end_q) + c.probe_len;
-                    c.merged = true;
-                } else {
-                    if (c.merged || c.prev.len / 2 >= threshold) {
-                        Hom closed = c.open;
-                        project_forward(closed, strand_border);
-                        c.segs.push_back(closed);
-                    }
-                    c.open = Hom{0, c.hit_s, c.hit_s, c.cursor, c.probe_len};
-                    c.merged = false;
-                }
-                c.prev = Seed{c.cursor, c.hit_s, c.probe_len};
-            }
-            c.cursor += c.probe_len + 1;
-            c.ph = ChainRun::NEXT;
-            return true;
+            apply_probe(idx, threshold, c);
+            return start_probe(idx, threshold, c);
         }
         case ChainRun::IDLE:
         default:
@@ -913,6 +1012,19 @@ static void map_batch_ilp(const Index &idx, i64 threshold, const u8 *qdata,
                     });
                 filter_overlaps_max(c.segs);
                 results[c.qidx] = std::move(c.segs);
+                if (std::getenv("PHYLONIUM_TPU_NATIVE_TIMING")) {
+#ifdef _OPENMP
+#pragma omp critical(map_stats)
+#endif
+                    {
+                        g_map_stats.probes += c.st.probes;
+                        g_map_stats.diag_lcps += c.st.diag_lcps;
+                        g_map_stats.diag_hits += c.st.diag_hits;
+                        g_map_stats.searches += c.st.searches;
+                        g_map_stats.bsteps += c.st.bsteps;
+                        g_map_stats.lcp_bytes += c.st.lcp_bytes;
+                    }
+                }
                 if (progress) {
 #ifdef _OPENMP
 #pragma omp atomic
@@ -938,10 +1050,18 @@ extern "C" {
 
 void *phy_index_build(const u8 *S, i64 m) {
     auto *idx = new Index();
+    const bool timing = std::getenv("PHYLONIUM_TPU_NATIVE_TIMING");
+    double t0 = timing ? omp_get_wtime() : 0.0;
     idx->S.assign(S, S + m);
     idx->n = m;
     idx->SA = build_sa_bytes(idx->S.data(), m);
+    double t1 = timing ? omp_get_wtime() : 0.0;
     idx->build_buckets();
+    if (timing) {
+        std::fprintf(stderr,
+                     "native index: sais=%.3fs buckets=%.3fs (n=%lld)\n",
+                     t1 - t0, omp_get_wtime() - t1, (long long)m);
+    }
     return idx;
 }
 
@@ -1030,6 +1150,15 @@ i64 phy_map_queries(void *h, const u8 *qdata, const i64 *offsets, i64 nq,
         }
     }
 
+    if (std::getenv("PHYLONIUM_TPU_NATIVE_TIMING")) {
+        const MapStats &s = g_map_stats;
+        std::fprintf(stderr,
+                     "native map: probes=%lld diag_lcps=%lld (hit %lld) "
+                     "searches=%lld bsteps=%lld lcp_bytes=%lld\n",
+                     (long long)s.probes, (long long)s.diag_lcps,
+                     (long long)s.diag_hits, (long long)s.searches,
+                     (long long)s.bsteps, (long long)s.lcp_bytes);
+    }
     i64 total = 0;
     for (i64 j = 0; j < nq; j++) {
         counts[j] = (i64)results[j].size();
