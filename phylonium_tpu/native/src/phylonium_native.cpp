@@ -980,8 +980,15 @@ static void map_batch_ilp(const Index &idx, i64 threshold, const u8 *qdata,
                           const i64 *offsets, i64 j0, i64 j1,
                           std::vector<std::vector<Hom>> &results,
                           i64 *progress) {
-    constexpr int K = 32;
-    ChainRun runs[K];
+    // chains in flight per thread: enough to cover ~3 dependent-miss
+    // rounds of latency; tunable for other hosts (measured sweep on
+    // this box in docs/ARCHITECTURE.md)
+    static const int K = [] {
+        const char *e = std::getenv("PHYLONIUM_TPU_MAP_CHAINS");
+        int v = e ? std::atoi(e) : 32;
+        return v < 1 ? 1 : (v > 256 ? 256 : v);
+    }();
+    std::vector<ChainRun> runs(K);
     i64 next = j0;
     int active = 0;
 
