@@ -93,6 +93,47 @@ def _write_panel_files(genomes, tmp) -> list[str]:
     return files
 
 
+def _probe_platform(timeout_s: int = 120) -> str | None:
+    """Detect the backend platform in a SUBPROCESS.
+
+    A wedged tunnel hangs ``jax.devices()`` without raising (observed
+    live for >1 h: even a trivial op never returned), and a hang in the
+    bench's main process loses the whole record where an abort only
+    nulls a field.  Returns None when the probe times out or dies —
+    the caller then pins cpu for every remaining stage.
+    """
+    import subprocess
+
+    targets = os.environ.get("PHYLONIUM_TPU_BENCH_INJECT", "")
+    if "probe" in [t.strip() for t in targets.split(",") if t.strip()]:
+        return None
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
+    try:
+        r = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                # env-var pinning alone does not force cpu (the axon
+                # plugin wins); apply the config override like the CLI
+                "import os, jax;"
+                " p = os.environ.get('PHYLONIUM_TPU_PLATFORM');"
+                " p and jax.config.update('jax_platforms', p);"
+                " print(jax.devices()[0].platform, flush=True)",
+            ],
+            capture_output=True,
+            timeout=timeout_s,
+            env=env,
+            text=True,
+        )
+    except Exception:
+        return None
+    if r.returncode:
+        return None
+    lines = r.stdout.strip().splitlines()
+    return lines[-1].strip() if lines else None
+
+
 def _run_e2e_pair(files, tmp, timeout_s) -> dict:
     """One reference-vs-ours wall-clock pair on existing files."""
     import subprocess
@@ -628,8 +669,6 @@ def _run_bench(n, length, detail, failures):
     states = build_pileup(arrays, homologies, len(queries[0]))
     detail["t_pileup"] = round(time.time() - t0, 3)
 
-    import jax
-
     from phylonium_tpu.core.pipeline import (
         _auto_prefers_host,
         pair_counts,
@@ -637,16 +676,27 @@ def _run_bench(n, length, detail, failures):
     )
     from phylonium_tpu.utils.cache import enable_compile_cache
 
-    enable_compile_cache()
-
-    # backend/tunnel init is a once-per-process constant — time it apart
-    # from everything else so it is never misattributed
+    # Platform detection runs in a SUBPROCESS (_probe_platform): a
+    # wedged tunnel hangs jax.devices() without raising, and a hang in
+    # the main process loses the whole record where an abort only nulls
+    # a field.  On probe failure, pin cpu for this process AND every
+    # child (the CLI honors PHYLONIUM_TPU_PLATFORM, cli.py:296) so no
+    # later stage can touch the unresponsive tunnel; the e2e tiers and
+    # the primary metric still record real host-path numbers.
     t0 = time.time()
-    platform = guard(
-        "backend_init", lambda: jax.devices()[0].platform, failures
-    )
+    probe_timeout = int(min(180, max(60, _BUDGET_S - _elapsed() - 120)))
+    platform = _probe_platform(timeout_s=probe_timeout)
+    if platform is None:
+        failures["backend_init"] = (
+            "platform probe unresponsive; cpu pinned for all stages"
+        )
+        os.environ["PHYLONIUM_TPU_PLATFORM"] = "cpu"
+        _apply_platform_override()
+        platform = "cpu"
     detail["t_backend_init"] = round(time.time() - t0, 3)
     detail["platform"] = platform
+    # after the platform is settled: the cache gate skips cpu-pinned runs
+    enable_compile_cache()
     use_pallas = platform == "tpu"
     detail["kernel"] = "pallas" if use_pallas else "xla"
 

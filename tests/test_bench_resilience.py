@@ -39,6 +39,36 @@ def test_bench_survives_injected_micro_aborts():
     assert detail["t_map"] > 0
 
 
+def test_bench_survives_wedged_tunnel_probe():
+    """A tunnel that HANGS (the platform probe never answers — observed
+    live: jax.devices() blocked >1 h without raising) must degrade the
+    run to cpu-pinned host mode, not hang the bench: every later stage
+    is pinned off the tunnel and the JSON line still prints with a real
+    host-path metric."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
+    env.pop("PHYLONIUM_TPU_PLATFORM", None)
+    env["PHYLONIUM_TPU_BENCH_E2E"] = "0"
+    env["PHYLONIUM_TPU_BENCH_INJECT"] = "probe"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "6", "8192"],
+        capture_output=True, timeout=300, env=env, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-1000:]
+    lines = [
+        ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")
+    ]
+    assert lines, r.stdout
+    parsed = json.loads(lines[-1])
+    assert parsed["value"] > 0
+    detail = parsed["detail"]
+    assert detail["platform"] == "cpu"
+    assert "backend_init" in detail["micro_failures"]
+    assert "probe" in detail["micro_failures"]["backend_init"]
+    # the pipeline itself completed on the host path
+    assert detail["t_map"] > 0
+
+
 def test_bench_budget_zero_still_prints_json():
     """With an exhausted budget the optional stages are skipped (the
     primary steady metric still gets a floored attempt), and the
