@@ -249,6 +249,69 @@ def _is_transient_device_error(e: BaseException) -> bool:
     return any(tag in msg for tag in _TRANSIENT_MARKERS)
 
 
+# fault injection: "N" makes the next N device counting calls HANG (the
+# wedged-tunnel failure mode: no exception, no progress) — tests pair it
+# with a small PHYLONIUM_TPU_DEVICE_ATTEMPT_TIMEOUT
+_HANG_ENV = "PHYLONIUM_TPU_INJECT_HANG"
+_hang_remaining: int | None = None
+
+
+def _maybe_inject_hang() -> None:
+    global _hang_remaining
+    if _hang_remaining is None:
+        raw = os.environ.get(_HANG_ENV)
+        _hang_remaining = int(raw) if raw and raw.isdigit() else 0
+    if _hang_remaining > 0:
+        _hang_remaining -= 1
+        import time
+
+        time.sleep(3600.0)
+
+
+def _is_multiprocess() -> bool:
+    """True in a multi-process (jax.distributed) run — read WITHOUT
+    jax.process_count(), which may start the backend."""
+    try:
+        from jax._src import distributed
+
+        return (distributed.global_state.num_processes or 1) > 1
+    except Exception:
+        return False
+
+
+def _call_with_hang_bound(fn, timeout_s: float, label: str):
+    """Run ``fn`` on a daemon thread and give up after ``timeout_s``.
+
+    A wedged backend hangs device calls without raising (observed live
+    for >1 h); the bound converts that into a TimeoutError the caller
+    treats like a transient abort.  The abandoned thread is a daemon —
+    the CLI exits via os._exit, so a leaked hung thread cannot block
+    shutdown."""
+    import threading
+
+    box: dict = {}
+    done = threading.Event()
+
+    def work():
+        try:
+            box["result"] = fn()
+        except BaseException as e:  # noqa: BLE001 — relayed to caller
+            box["error"] = e
+        finally:
+            done.set()
+
+    t = threading.Thread(target=work, daemon=True, name=f"count-{label}")
+    t.start()
+    if not done.wait(timeout_s):
+        raise TimeoutError(
+            f"device counting ({label}) made no progress in "
+            f"{timeout_s:.0f}s (wedged backend?)"
+        )
+    if "error" in box:
+        raise box["error"]
+    return box["result"]
+
+
 def _reset_device_runtime() -> None:
     """Best-effort teardown of the jax runtime so a retry starts on a
     fresh backend connection (compiled programs reload from the
@@ -267,14 +330,44 @@ def _reset_device_runtime() -> None:
         pass
 
 
+def _attempt_timeout_s(states) -> float:
+    """Hang bound for one device counting attempt (0 disables).
+
+    The default scales with panel size so a legitimate cold run is
+    never cut off: remote compiles take minutes and the tunnel has
+    shipped as slowly as ~1 MB/s, so allow 900 s base + 1 s per MB of
+    pileup (the device paths ship at most half that after packing).
+    PHYLONIUM_TPU_DEVICE_ATTEMPT_TIMEOUT overrides with an absolute
+    number of seconds."""
+    raw = os.environ.get("PHYLONIUM_TPU_DEVICE_ATTEMPT_TIMEOUT")
+    if raw:
+        try:
+            return float(raw)
+        except ValueError:
+            pass
+    return 900.0 + getattr(states, "nbytes", 0) / 1e6
+
+
 def _resilient_device_counts(device_fn, states, cfg, progress, label):
-    """Run a device counting path with transient-abort protection:
-    retry once on a reinitialized backend, then fall back to the
-    bit-identical host path.  Exit code and stdout are unaffected by a
-    flaky backend; only stderr warns.  (The reference binary has no
-    failure mode here — neither may we.)"""
-    try:
+    """Run a device counting path with transient-fault protection:
+    on an abort, retry once on a reinitialized backend; on a WEDGE
+    (the backend hangs without raising — observed live for >1 h), the
+    per-attempt bound fires and the run goes STRAIGHT to the
+    bit-identical host path (wedges last minutes, so an immediate
+    retry would only stall through another timeout).  Exit code and
+    stdout are unaffected by a flaky backend; only stderr warns.
+    (The reference binary has no failure mode here — neither may we.)"""
+    timeout_s = _attempt_timeout_s(states)
+
+    def attempt():
+        if timeout_s > 0:
+            return _call_with_hang_bound(device_fn, timeout_s, label)
         return device_fn()
+
+    try:
+        return attempt()
+    except TimeoutError as e:
+        cfg.warn(f"{e}; counting on the bit-identical host path instead")
     except Exception as e:
         if not _is_transient_device_error(e):
             raise
@@ -282,16 +375,20 @@ def _resilient_device_counts(device_fn, states, cfg, progress, label):
             f"transient TPU backend error in the {label} counting path "
             f"({str(e).splitlines()[0]}); reinitializing and retrying"
         )
-    _reset_device_runtime()
-    try:
-        return device_fn()
-    except Exception as e:
-        if not _is_transient_device_error(e):
-            raise
-        cfg.warn(
-            "device retry failed; counting on the bit-identical host "
-            "path instead"
-        )
+        _reset_device_runtime()
+        try:
+            return attempt()
+        except TimeoutError as e2:
+            cfg.warn(
+                f"{e2}; counting on the bit-identical host path instead"
+            )
+        except Exception as e2:
+            if not _is_transient_device_error(e2):
+                raise
+            cfg.warn(
+                "device retry failed; counting on the bit-identical "
+                "host path instead"
+            )
     from phylonium_tpu.ops.bitplane_host import pair_counts_host
 
     return pair_counts_host(states, progress=progress)
@@ -306,17 +403,27 @@ def _auto_prefers_host(n: int, ref_len: int, cfg: RunConfig) -> bool:
     requested path."""
     if cfg.count_backend != "auto" or cfg.mesh:
         return False
-    try:
-        # read the distributed runtime state WITHOUT jax.process_count()
-        # (which may start the backend — the very cost being avoided)
-        from jax._src import distributed
-
-        if (distributed.global_state.num_processes or 1) > 1:
-            return False
-    except Exception:
-        pass
+    if _is_multiprocess():
+        return False
     work_gbp = n * (n - 1) / 2 * ref_len / 1e9
     return work_gbp < cfg.auto_device_min_gbp
+
+
+def _dispatch_devices():
+    """Device list for dispatch decisions, hang-bounded.
+
+    A wedged tunnel hangs the backend handshake without raising;
+    dispatch then proceeds as if no usable device existed — the
+    hang-bounded counting attempt or the host race keeps the run
+    correct.  Multi-process runs block instead: every process must see
+    the same topology or the collective desyncs."""
+    if _is_multiprocess():
+        import jax
+
+        return jax.devices()
+    from phylonium_tpu.utils.platform import devices_or_none
+
+    return devices_or_none()
 
 
 def _use_pallas(cfg: RunConfig) -> bool:
@@ -324,9 +431,8 @@ def _use_pallas(cfg: RunConfig) -> bool:
         return True
     if cfg.count_backend not in ("auto", "device"):
         return False
-    import jax
-
-    return jax.devices()[0].platform == "tpu"
+    devs = _dispatch_devices()
+    return bool(devs) and devs[0].platform == "tpu"
 
 
 def _mesh_device_count(cfg: RunConfig) -> int:
@@ -336,9 +442,8 @@ def _mesh_device_count(cfg: RunConfig) -> int:
     if cfg.mesh:
         rows, _, cols = cfg.mesh.partition(",")
         return int(rows) * int(cols or "1")
-    import jax
-
-    n = len(jax.devices())
+    devs = _dispatch_devices()
+    n = len(devs) if devs else 0
     return n if n > 1 else 0
 
 
@@ -346,6 +451,7 @@ def _pair_counts_device(states: np.ndarray, cfg: RunConfig, progress=None):
     """Single-device counting: fused Pallas kernel on TPU, XLA einsum
     elsewhere."""
     _maybe_inject_abort()
+    _maybe_inject_hang()
     if _use_pallas(cfg):
         from phylonium_tpu.ops.pallas_match import (
             pair_counts_pallas,
@@ -374,6 +480,7 @@ def _pair_counts_mesh(states: np.ndarray, cfg: RunConfig):
     from phylonium_tpu.parallel.mesh import make_mesh
 
     _maybe_inject_abort()
+    _maybe_inject_hang()
 
     if cfg.mesh:
         rows, _, cols = cfg.mesh.partition(",")
@@ -491,15 +598,8 @@ def pair_counts(
         # multi-PROCESS runs must not retry/fall back per process: a
         # lone process abandoning the collective would desync or hang
         # its peers mid-psum.  Single-process meshes get the full
-        # retry-then-host resilience.
-        multiproc = False
-        try:
-            from jax._src import distributed
-
-            multiproc = (distributed.global_state.num_processes or 1) > 1
-        except Exception:
-            pass
-        if multiproc:
+        # retry-then-host resilience (hang-bounded attempts included).
+        if _is_multiprocess():
             result = _pair_counts_mesh(states, cfg)
         else:
             result = _resilient_device_counts(
@@ -622,13 +722,8 @@ def _should_stream(n: int, ref_len: int, cfg: RunConfig, ref) -> bool:
         return False
     if ref.backend_name != "native":
         return False
-    try:
-        from jax._src import distributed
-
-        if (distributed.global_state.num_processes or 1) > 1:
-            return False
-    except Exception:
-        pass
+    if _is_multiprocess():
+        return False
     if env == "force":
         return True
     if _auto_prefers_host(n, ref_len, cfg):

@@ -10,6 +10,13 @@ stderr warns.  The reference binary has no failure mode here
 
 Faults are injected via PHYLONIUM_TPU_INJECT_ABORT=N (the next N device
 counting calls raise a simulated transient abort).
+
+A second, nastier failure mode was observed live round 3: a WEDGED
+tunnel hangs device calls without raising — no exception, no progress,
+for over an hour.  Every device counting attempt is therefore bounded
+(PHYLONIUM_TPU_DEVICE_ATTEMPT_TIMEOUT; panel-scaled default) and a
+timeout goes straight to the host path.  Hangs are injected via
+PHYLONIUM_TPU_INJECT_HANG=N.
 """
 
 from __future__ import annotations
@@ -149,6 +156,140 @@ def test_full_cli_survives_injected_aborts(tmp_path, inject, capsys):
     assert rc_fault == 0
     assert out_fault == out_clean
     assert "transient TPU backend error" in capsys.readouterr().err
+
+
+@pytest.fixture
+def inject_hang(monkeypatch):
+    """Arm N injected hangs (module-level countdown, reset after)."""
+
+    def arm(n: int):
+        monkeypatch.setenv(pipe._HANG_ENV, str(n))
+        monkeypatch.setattr(pipe, "_hang_remaining", None)
+
+    yield arm
+    pipe._hang_remaining = None
+
+
+def test_call_with_hang_bound_passthrough():
+    assert pipe._call_with_hang_bound(lambda: 42, 30.0, "t") == 42
+    with pytest.raises(ValueError, match="boom"):
+        pipe._call_with_hang_bound(
+            lambda: (_ for _ in ()).throw(ValueError("boom")), 30.0, "t"
+        )
+
+
+def test_call_with_hang_bound_times_out():
+    import time
+
+    with pytest.raises(TimeoutError, match="no progress"):
+        pipe._call_with_hang_bound(lambda: time.sleep(60), 0.2, "t")
+
+
+def test_attempt_timeout_env_and_default(monkeypatch, states):
+    monkeypatch.setenv("PHYLONIUM_TPU_DEVICE_ATTEMPT_TIMEOUT", "7.5")
+    assert pipe._attempt_timeout_s(states) == 7.5
+    monkeypatch.setenv("PHYLONIUM_TPU_DEVICE_ATTEMPT_TIMEOUT", "junk")
+    assert pipe._attempt_timeout_s(states) >= 900.0  # default survives
+    monkeypatch.delenv("PHYLONIUM_TPU_DEVICE_ATTEMPT_TIMEOUT")
+    assert pipe._attempt_timeout_s(states) >= 900.0
+
+
+def test_wedged_device_falls_back_to_host(
+    states, inject_hang, capsys, monkeypatch
+):
+    """A wedge (hang, no exception) hits the per-attempt bound and goes
+    STRAIGHT to the bit-identical host path — no retry stall."""
+    import time
+
+    inject_hang(1)
+    monkeypatch.setenv("PHYLONIUM_TPU_DEVICE_ATTEMPT_TIMEOUT", "0.5")
+    cfg = RunConfig(count_backend="device", progress="never")
+    t0 = time.time()
+    subs, homs = pair_counts(states, cfg)
+    assert time.time() - t0 < 60  # one bound, not 3600 s
+    es, eh = _expect(states)
+    np.testing.assert_array_equal(subs, es)
+    np.testing.assert_array_equal(homs, eh)
+    err = capsys.readouterr().err
+    assert "no progress" in err
+    assert "host" in err
+
+
+def test_wedged_mesh_falls_back_to_host(
+    states, inject_hang, capsys, monkeypatch
+):
+    inject_hang(1)
+    monkeypatch.setenv("PHYLONIUM_TPU_DEVICE_ATTEMPT_TIMEOUT", "0.5")
+    cfg = RunConfig(mesh="2,4", progress="never")
+    subs, homs = pair_counts(states, cfg)
+    es, eh = _expect(states)
+    np.testing.assert_array_equal(subs, es)
+    np.testing.assert_array_equal(homs, eh)
+    assert "no progress" in capsys.readouterr().err
+
+
+def test_abort_then_wedged_retry_falls_back(
+    states, inject, inject_hang, capsys, monkeypatch
+):
+    """First attempt aborts, the reinitialized retry wedges: the bound
+    fires on the retry too and the host path still finishes the run."""
+    inject(1)
+    inject_hang(1)
+    monkeypatch.setenv("PHYLONIUM_TPU_DEVICE_ATTEMPT_TIMEOUT", "0.5")
+    cfg = RunConfig(count_backend="device", progress="never")
+    subs, homs = pair_counts(states, cfg)
+    es, eh = _expect(states)
+    np.testing.assert_array_equal(subs, es)
+    np.testing.assert_array_equal(homs, eh)
+    err = capsys.readouterr().err
+    assert "retrying" in err
+    assert "no progress" in err
+
+
+def test_full_cli_survives_wedged_backend(
+    tmp_path, inject_hang, capsys, monkeypatch
+):
+    """Full CLI with --count-backend device under an injected wedge:
+    exit 0 and stdout byte-identical to the clean run."""
+    from phylonium_tpu.cli import main
+
+    rng = np.random.default_rng(23)
+    base = rng.integers(0, 4, 3000)
+    files = []
+    for k in range(3):
+        arr = base.copy()
+        idx = rng.random(arr.size) < 0.02 * (k + 1)
+        arr[idx] = (arr[idx] + rng.integers(1, 4, int(idx.sum()))) % 4
+        seq = bytes(b"ACGT"[c] for c in arr)
+        p = tmp_path / f"W{k}.fasta"
+        p.write_bytes(b">W%d\n" % k + seq + b"\n")
+        files.append(str(p))
+
+    def run():
+        out = io.StringIO()
+        with contextlib.redirect_stdout(out):
+            rc = main(
+                ["--progress=never", "--count-backend=device", *files]
+            )
+        return rc, out.getvalue()
+
+    rc_clean, out_clean = run()
+    assert rc_clean == 0
+    inject_hang(1)
+    monkeypatch.setenv("PHYLONIUM_TPU_DEVICE_ATTEMPT_TIMEOUT", "0.5")
+    rc_fault, out_fault = run()
+    assert rc_fault == 0
+    assert out_fault == out_clean
+    assert "no progress" in capsys.readouterr().err
+
+
+def test_devices_or_none_on_live_backend():
+    """With the backend reachable (CPU-pinned test env), the bounded
+    handshake returns the device list, not None."""
+    from phylonium_tpu.utils.platform import devices_or_none
+
+    devs = devices_or_none(timeout_s=120.0)
+    assert devs
 
 
 def test_hybrid_map_falls_back_on_transient_abort(tmp_path, capsys, monkeypatch):
