@@ -149,6 +149,17 @@ def _run_e2e_pair(files, tmp, timeout_s) -> dict:
         t_ref, r_ref = run([ORACLE, *files])
         env = dict(os.environ)
         env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
+        # Deferred-plugin launch (the recommended production launcher):
+        # sitecustomize preloads jax + the axon PJRT plugin into every
+        # python start (~2 s) when PALLAS_AXON_POOL_IPS is set.  Moving
+        # the value to PHYLONIUM_TPU_DEFER_AXON lets host-dispatched
+        # runs skip the import entirely, while device-bound paths
+        # re-arm the plugin lazily on their handshake thread
+        # (utils/platform.ensure_device_plugin) — off the critical
+        # path either way.
+        pool = env.pop("PALLAS_AXON_POOL_IPS", None)
+        if pool:
+            env.setdefault("PHYLONIUM_TPU_DEFER_AXON", pool)
         t_tpu, r_tpu = run(
             [sys.executable, "-m", "phylonium_tpu", *files], env=env
         )

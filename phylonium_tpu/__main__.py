@@ -5,6 +5,15 @@ from phylonium_tpu.cli import main
 
 if __name__ == "__main__":
     rc = main()
+    # Perf invariant (tested): a host-dispatched run must never import
+    # jax — the import alone costs ~1.8 s on this deployment's host.
+    if os.environ.get("PHYLONIUM_TPU_EXPECT_NO_JAX") and "jax" in sys.modules:
+        print(
+            "PHYLONIUM_TPU_EXPECT_NO_JAX: jax was imported on a "
+            "host-only run",
+            file=sys.stderr,
+        )
+        rc = rc or 70
     # Hard exit: background device threads (backend handshake, the
     # compare race's losing side, prewarm compiles) may still be inside
     # the TPU plugin; normal interpreter teardown aborts with

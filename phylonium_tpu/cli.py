@@ -355,13 +355,11 @@ def main(argv: list[str] | None = None) -> int:
     else:
         reference_index = pick_first_pass(queries, verbose=bool(cfg.verbose))
 
-    # The persistent compile cache is cheap to enable (a config flag +
-    # copying shipped executables; no backend init) and ANY code path
-    # may end up compiling — hybrid mapping, a -2 second pass crossing
-    # the work threshold — so it is enabled unconditionally.
-    from phylonium_tpu.utils.cache import enable_compile_cache
-
-    enable_compile_cache()
+    # The persistent compile cache is enabled at the device-touching
+    # chokepoints (prewarm worker, the counting paths, hybrid mapping,
+    # the stream feeder) rather than here: enabling it means importing
+    # jax, which costs ~1.8 s, and a host-dispatched run must never pay
+    # that (tested: PHYLONIUM_TPU_EXPECT_NO_JAX).
 
     # device-bound runs: start the backend handshake now (tunnelled TPU
     # init can take seconds) so it overlaps the host index/map phases.
@@ -376,6 +374,13 @@ def main(argv: list[str] | None = None) -> int:
 
         def _init_backend():
             try:
+                from phylonium_tpu.utils.cache import enable_compile_cache
+                from phylonium_tpu.utils.platform import (
+                    ensure_device_plugin,
+                )
+
+                ensure_device_plugin()
+                enable_compile_cache()
                 import jax
 
                 jax.devices()
@@ -444,16 +449,19 @@ def main(argv: list[str] | None = None) -> int:
     # matrix; only the coordinator prints it.  The distributed state is
     # read directly (jax.process_count() may initialize the backend —
     # seconds of handshake a host-dispatched run never needs, and a
-    # crash risk right before printing).
-    try:
-        from jax._src import distributed
+    # crash risk right before printing).  Import-free when jax was
+    # never loaded: a jax.distributed run imports jax to initialize,
+    # so its absence proves a single-process run.
+    if "jax" in sys.modules:
+        try:
+            from jax._src import distributed
 
-        if (
-            distributed.global_state.num_processes or 1
-        ) > 1 and distributed.global_state.process_id != 0:
-            return cfg.return_code
-    except Exception:
-        pass
+            if (
+                distributed.global_state.num_processes or 1
+            ) > 1 and distributed.global_state.process_id != 0:
+                return cfg.return_code
+        except Exception:
+            pass
 
     names = [q.name for q in queries]
     lengths = np.array([len(q) for q in queries], dtype=np.int64)

@@ -252,6 +252,11 @@ def hybrid_map_queries(
     Returns raw (unsorted, unfiltered) homology lists per query, like
     core/anchors.anchor_homologies.
     """
+    from phylonium_tpu.utils.cache import enable_compile_cache
+    from phylonium_tpu.utils.platform import ensure_device_plugin
+
+    ensure_device_plugin()  # device chokepoint (idempotent)
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from phylonium_tpu.ops.anchor_extend import diagonal_neq, pad_text

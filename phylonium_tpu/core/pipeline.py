@@ -80,16 +80,19 @@ def map_queries(
             else:
                 homologies[j] = cached
     # multi-host: map only this process's queries (round-robin split of
-    # the reference's data-parallel-over-queries axis), exchange after
+    # the reference's data-parallel-over-queries axis), exchange after.
+    # Import-free when jax was never loaded (host runs must not pay the
+    # ~1.8 s import; jax.distributed requires importing jax first).
     nproc, pid = 1, 0
-    try:
-        from jax._src import distributed
+    if "jax" in sys.modules:
+        try:
+            from jax._src import distributed
 
-        if (distributed.global_state.num_processes or 1) > 1:
-            nproc = distributed.global_state.num_processes
-            pid = distributed.global_state.process_id
-    except Exception:
-        pass
+            if (distributed.global_state.num_processes or 1) > 1:
+                nproc = distributed.global_state.num_processes
+                pid = distributed.global_state.process_id
+        except Exception:
+            pass
     if nproc > 1:
         todo = [j for j in todo if j % nproc == pid]
 
@@ -249,6 +252,24 @@ def _is_transient_device_error(e: BaseException) -> bool:
     return any(tag in msg for tag in _TRANSIENT_MARKERS)
 
 
+# "no usable device runtime at all" — e.g. the TPU plugin isn't
+# registered in this process, or backend init failed outright.  Not
+# transient (a reinit retry cannot help), but the bit-identical host
+# path is still the right answer: fall back immediately.
+_NO_BACKEND_MARKERS = (
+    "not in the list of known backends",
+    "Unable to initialize backend",
+    "No visible",  # "No visible TPU devices" family
+)
+
+
+def _is_no_backend_error(e: BaseException) -> bool:
+    if not isinstance(e, (RuntimeError, ValueError)):
+        return False
+    msg = str(e)
+    return any(tag in msg for tag in _NO_BACKEND_MARKERS)
+
+
 # fault injection: "N" makes the next N device counting calls HANG (the
 # wedged-tunnel failure mode: no exception, no progress) — tests pair it
 # with a small PHYLONIUM_TPU_DEVICE_ATTEMPT_TIMEOUT
@@ -270,7 +291,12 @@ def _maybe_inject_hang() -> None:
 
 def _is_multiprocess() -> bool:
     """True in a multi-process (jax.distributed) run — read WITHOUT
-    jax.process_count(), which may start the backend."""
+    jax.process_count(), which may start the backend.  Import-free when
+    jax was never loaded: ``import jax`` costs ~1.8 s on this host and
+    a host-dispatched run must never pay it (jax.distributed cannot be
+    initialized without importing jax first)."""
+    if "jax" not in sys.modules:
+        return False
     try:
         from jax._src import distributed
 
@@ -369,26 +395,36 @@ def _resilient_device_counts(device_fn, states, cfg, progress, label):
     except TimeoutError as e:
         cfg.warn(f"{e}; counting on the bit-identical host path instead")
     except Exception as e:
-        if not _is_transient_device_error(e):
+        if _is_no_backend_error(e):
+            cfg.warn(
+                f"no usable device runtime ({str(e).splitlines()[0]}); "
+                "counting on the bit-identical host path instead"
+            )
+        elif not _is_transient_device_error(e):
             raise
-        cfg.warn(
-            f"transient TPU backend error in the {label} counting path "
-            f"({str(e).splitlines()[0]}); reinitializing and retrying"
-        )
-        _reset_device_runtime()
-        try:
-            return attempt()
-        except TimeoutError as e2:
+        else:
             cfg.warn(
-                f"{e2}; counting on the bit-identical host path instead"
+                f"transient TPU backend error in the {label} counting "
+                f"path ({str(e).splitlines()[0]}); reinitializing and "
+                "retrying"
             )
-        except Exception as e2:
-            if not _is_transient_device_error(e2):
-                raise
-            cfg.warn(
-                "device retry failed; counting on the bit-identical "
-                "host path instead"
-            )
+            _reset_device_runtime()
+            try:
+                return attempt()
+            except TimeoutError as e2:
+                cfg.warn(
+                    f"{e2}; counting on the bit-identical host path "
+                    "instead"
+                )
+            except Exception as e2:
+                if not _is_transient_device_error(e2) and not (
+                    _is_no_backend_error(e2)
+                ):
+                    raise
+                cfg.warn(
+                    "device retry failed; counting on the bit-identical "
+                    "host path instead"
+                )
     from phylonium_tpu.ops.bitplane_host import pair_counts_host
 
     return pair_counts_host(states, progress=progress)
@@ -450,6 +486,11 @@ def _mesh_device_count(cfg: RunConfig) -> int:
 def _pair_counts_device(states: np.ndarray, cfg: RunConfig, progress=None):
     """Single-device counting: fused Pallas kernel on TPU, XLA einsum
     elsewhere."""
+    from phylonium_tpu.utils.cache import enable_compile_cache
+    from phylonium_tpu.utils.platform import ensure_device_plugin
+
+    ensure_device_plugin()  # device chokepoint (idempotent)
+    enable_compile_cache()
     _maybe_inject_abort()
     _maybe_inject_hang()
     if _use_pallas(cfg):
@@ -478,7 +519,11 @@ def _pair_counts_mesh(states: np.ndarray, cfg: RunConfig):
 
     from phylonium_tpu.parallel.distributed import pair_counts_sharded
     from phylonium_tpu.parallel.mesh import make_mesh
+    from phylonium_tpu.utils.cache import enable_compile_cache
+    from phylonium_tpu.utils.platform import ensure_device_plugin
 
+    ensure_device_plugin()  # device chokepoint (idempotent)
+    enable_compile_cache()
     _maybe_inject_abort()
     _maybe_inject_hang()
 
@@ -646,6 +691,11 @@ def prewarm_counts(n: int, ref_len: int, cfg: RunConfig):
 
     def work():
         try:
+            from phylonium_tpu.utils.cache import enable_compile_cache
+            from phylonium_tpu.utils.platform import ensure_device_plugin
+
+            ensure_device_plugin()
+            enable_compile_cache()  # before the first compile
             if not _use_pallas(cfg):
                 return  # CPU/XLA compiles are local and fast
             import jax
@@ -732,17 +782,10 @@ def _should_stream(n: int, ref_len: int, cfg: RunConfig, ref) -> bool:
     # can block for seconds and belongs on the prewarm thread, not in
     # the pipeline's critical path.  Device count only matters once the
     # backend is up (a multi-chip runtime routes to the mesh instead).
-    try:
-        from jax._src import xla_bridge
+    from phylonium_tpu.utils.platform import backends_initialized
 
-        if (
-            xla_bridge.backends_are_initialized()
-            and _mesh_device_count(cfg) > 1
-        ):
-            return False
-    except Exception:
-        if _mesh_device_count(cfg) > 1:
-            return False
+    if backends_initialized() and _mesh_device_count(cfg) > 1:
+        return False
     # a CPU-pinned run sets jax_platforms (conftest,
     # PHYLONIUM_TPU_PLATFORM); otherwise this deployment's default
     # backend is the TPU

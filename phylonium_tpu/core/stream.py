@@ -96,6 +96,11 @@ class DeviceRowFeeder:
         self.width = bucket_cols(l2, self.block) if l2 <= cap else l2
 
     def __init__(self, n: int, ref_len: int, interpret: bool = False):
+        from phylonium_tpu.utils.cache import enable_compile_cache
+        from phylonium_tpu.utils.platform import ensure_device_plugin
+
+        ensure_device_plugin()  # device chokepoint (idempotent)
+        enable_compile_cache()
         self._init_shapes(n, ref_len, interpret)
         self._rows_done = 0
         self._chunks: list = []

@@ -5,13 +5,27 @@ tunnelled deployment), so hot paths decide from the config pin instead.
 ``jax_platforms`` is a PRIORITY LIST — the axon deployment sets
 ``'axon,cpu'`` (TPU with CPU fallback), so only the first entry decides
 where computation lands; a naive substring test misreads it as CPU.
+
+None of these helpers import jax on their own: ``import jax`` costs
+~1.8 s on this host, and the host-only dispatch path (panels below the
+work threshold) must never pay it.  When jax was never imported, the
+process cannot be in a jax.distributed run and the pin is whatever the
+environment will hand jax at import time.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+
 
 def cpu_pinned() -> bool:
     """True when jax is pinned to the CPU backend (tests, forced runs)."""
+    if "jax" not in sys.modules:
+        # nobody can have called jax.config.update yet; the env var is
+        # the only pin source a future import would see
+        platforms = os.environ.get("JAX_PLATFORMS", "")
+        return platforms.split(",")[0].strip().lower() == "cpu"
     import jax
 
     platforms = getattr(jax.config, "jax_platforms", None)
@@ -22,12 +36,58 @@ def cpu_pinned() -> bool:
 
 def backends_initialized() -> bool:
     """True once the jax backend handshake has completed in-process."""
+    if "jax" not in sys.modules:
+        return False
     try:
         from jax._src import xla_bridge
 
         return bool(xla_bridge.backends_are_initialized())
     except Exception:
         return False
+
+
+_plugin_armed = False
+
+
+def ensure_device_plugin() -> None:
+    """Re-arm the deployment's TPU plugin when the launcher deferred it.
+
+    The axon deployment preloads jax + the PJRT plugin into EVERY
+    python process via sitecustomize (~2 s of interpreter startup),
+    gated on ``PALLAS_AXON_POOL_IPS``.  A launcher that moves that
+    value into ``PHYLONIUM_TPU_DEFER_AXON`` (and unsets the gate) makes
+    host-dispatched runs skip the cost entirely — the CLI is then
+    jax-import-free below the work threshold.  Device-bound paths call
+    this before their first backend handshake: it restores the gate
+    variable and re-executes the deployment's own boot module, so no
+    registration logic is duplicated here.  No-op when the gate was set
+    at startup (normal boot already registered) or nothing was
+    deferred."""
+    global _plugin_armed
+    if _plugin_armed:
+        return
+    _plugin_armed = True
+    stashed = os.environ.get("PHYLONIUM_TPU_DEFER_AXON")
+    if not stashed or os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return
+    if backends_initialized():
+        return  # too late: plugins register before the first handshake
+    os.environ["PALLAS_AXON_POOL_IPS"] = stashed
+    try:
+        import importlib
+        import sitecustomize
+
+        importlib.reload(sitecustomize)
+    except Exception:
+        pass  # best-effort; the host paths stay bit-identical
+
+
+# one shared handshake attempt per process: concurrent/later callers
+# join the same thread instead of stacking new ones onto a wedged
+# backend, and once a caller has given up every later call returns
+# None instantly (unless the handshake completed in the meantime)
+_handshake: dict = {}
+_handshake_lock = None
 
 
 def devices_or_none(timeout_s: float = 120.0):
@@ -48,20 +108,30 @@ def devices_or_none(timeout_s: float = 120.0):
             return jax.devices()
         except Exception:
             return None
+    ensure_device_plugin()
 
     import threading
 
-    box: dict = {}
+    global _handshake_lock
+    if _handshake_lock is None:
+        _handshake_lock = threading.Lock()
+    with _handshake_lock:
+        t = _handshake.get("thread")
+        if t is None:
 
-    def work():
-        try:
-            box["devices"] = jax.devices()
-        except Exception:
-            pass
+            def work():
+                try:
+                    _handshake["devices"] = jax.devices()
+                except Exception:
+                    _handshake["devices"] = None
 
-    t = threading.Thread(
-        target=work, daemon=True, name="backend-handshake"
-    )
-    t.start()
-    t.join(timeout_s)
-    return box.get("devices")
+            t = threading.Thread(
+                target=work, daemon=True, name="backend-handshake"
+            )
+            _handshake["thread"] = t
+            t.start()
+    t.join(0.0 if _handshake.get("gave_up") else timeout_s)
+    if "devices" in _handshake:
+        return _handshake["devices"]
+    _handshake["gave_up"] = True
+    return None
