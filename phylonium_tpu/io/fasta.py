@@ -13,7 +13,7 @@ reference's pfasta v15 (`libs/pfasta.c`):
 
 Like pfasta, input is consumed in bounded chunks from the file
 descriptor (pfasta.c:58,304-330 uses a 16 KiB buffer; here 1 MiB so the
-numpy whitespace scan — the Python analogue of pfasta's SSE2
+native one-pass body scan — the analogue of pfasta's SSE2
 ``find_first_space`` — amortizes), so peak scratch memory is O(record),
 not O(file) plus copies.  Records are yielded as they complete.
 
@@ -27,8 +27,6 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 from typing import BinaryIO, Iterator
-
-import numpy as np
 
 from phylonium_tpu.data.sequence import Genome, Sequence, filter_nucl
 
@@ -48,16 +46,30 @@ class FastaRecord:
 
 _WS = b" \t\n\r\x0b\x0c"
 
+_native_scan = None  # resolved once; False when the backend is absent
 
-def _strip_ws(chunk: bytes) -> bytes:
-    if len(chunk) >= 4096:
-        arr = np.frombuffer(chunk, dtype=np.uint8)
-        ws = (
-            (arr == 0x20) | (arr == 0x0A) | (arr == 0x0D)
-            | (arr == 0x09) | (arr == 0x0B) | (arr == 0x0C)
-        )
-        return arr[~ws].tobytes()
-    return chunk.translate(None, delete=_WS)
+
+def _scan_body(chunk: bytes) -> tuple[bytes, int]:
+    """(whitespace-stripped bytes, newline count) for one body span.
+
+    One native pass on large spans (stripping and newline counting as
+    separate Python/numpy passes dominated the read phase); pure-python
+    fallback keeps the module importable without the C++ backend."""
+    global _native_scan
+    if len(chunk) >= 4096 and _native_scan is not False:
+        if _native_scan is None:
+            try:
+                from phylonium_tpu.native import fasta_scan_native
+
+                _native_scan = fasta_scan_native
+            except Exception:
+                _native_scan = False
+        if _native_scan:
+            return _native_scan(chunk)
+    return (
+        chunk.translate(None, delete=_WS),
+        chunk.count(b"\n"),
+    )
 
 
 class _Parser:
@@ -134,10 +146,10 @@ class _Parser:
                 stop = chunk.find(b"\n>", pos)
                 stop = end if stop < 0 else stop + 1
                 body = chunk[pos:stop]
-                stripped = _strip_ws(body)
+                stripped, newlines = _scan_body(body)
                 if stripped:
                     self.pieces.append(stripped)
-                self.line += body.count(b"\n")
+                self.line += newlines
                 self.at_line_start = body.endswith(b"\n") or (
                     self.at_line_start and not body
                 )

@@ -79,6 +79,13 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8),
         ]
+        lib.phy_fasta_scan.restype = ctypes.c_int64
+        lib.phy_fasta_scan.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.phy_seqcmp.restype = ctypes.c_int64
         lib.phy_seqcmp.argtypes = [
             ctypes.POINTER(ctypes.c_uint8),
@@ -177,6 +184,21 @@ def filter_nucl_native(raw: bytes) -> bytes:
         lib.phy_filter_nucl(_u8ptr(src), src.size, _u8ptr(dst))
     )
     return dst[:kept].tobytes()
+
+
+def fasta_scan_native(chunk: bytes) -> tuple[bytes, int]:
+    """One pass over a FASTA body span: (whitespace-stripped bytes,
+    newline count) — the parser contract in io/fasta._Parser.feed."""
+    lib = get_lib()
+    src = np.frombuffer(chunk, dtype=np.uint8)
+    dst = np.empty(max(src.size, 1), dtype=np.uint8)
+    nl = ctypes.c_int64(0)
+    kept = int(
+        lib.phy_fasta_scan(
+            _u8ptr(src), src.size, _u8ptr(dst), ctypes.byref(nl)
+        )
+    )
+    return dst[:kept].tobytes(), int(nl.value)
 
 
 def seqcmp(a: np.ndarray, b: np.ndarray) -> int:

@@ -1479,6 +1479,27 @@ i64 phy_filter_nucl(const u8 *__restrict__ src, i64 n,
     return w;
 }
 
+// FASTA body scan: strip whitespace and count newlines in ONE pass
+// (the parser needs both — stripped sequence bytes for the record, the
+// newline count for 1-based error line numbers; doing them as separate
+// Python/numpy passes dominated the read phase).  Returns the stripped
+// length; *newlines gets the '\n' count.  Whitespace set matches
+// python's bytes.translate delete set in io/fasta._strip_ws.
+i64 phy_fasta_scan(const u8 *__restrict__ src, i64 n,
+                   u8 *__restrict__ dst, i64 *newlines) {
+    bool ws[256] = {};
+    ws[' '] = ws['\t'] = ws['\n'] = ws['\r'] = ws['\v'] = ws['\f'] = true;
+    i64 w = 0, nl = 0;
+    for (i64 i = 0; i < n; i++) {
+        u8 c = src[i];
+        dst[w] = c;
+        w += !ws[c];
+        nl += c == '\n';
+    }
+    *newlines = nl;
+    return w;
+}
+
 // Scalar mismatch kernels (host oracle / benchmarking):
 i64 phy_seqcmp(const u8 *a, const u8 *b, i64 len) {
     i64 cnt = 0;

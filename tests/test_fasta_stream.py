@@ -66,3 +66,22 @@ def test_bounded_scratch_memory():
         sizes.append(len(rec.sequence))
     assert sizes == [10000] * 50
     assert Counting.reads >= len(payload) // 4096  # actually streamed
+
+
+def test_native_body_scan_matches_python():
+    """The native one-pass body scan (strip + newline count) must agree
+    with the pure-python path byte-for-byte on whitespace-heavy spans
+    (both sides of the 4096-byte native threshold)."""
+    import numpy as np
+
+    from phylonium_tpu.io.fasta import _WS, _scan_body
+
+    rng = np.random.default_rng(17)
+    alphabet = np.frombuffer(b"ACGTacgtNn \t\n\r\x0b\x0c>", np.uint8)
+    for size in (0, 1, 100, 4095, 4096, 4097, 1 << 17):
+        chunk = alphabet[
+            rng.integers(0, len(alphabet), size)
+        ].tobytes()
+        got_bytes, got_nl = _scan_body(chunk)
+        assert got_bytes == chunk.translate(None, delete=_WS)
+        assert got_nl == chunk.count(b"\n")
