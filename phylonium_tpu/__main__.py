@@ -4,7 +4,19 @@ import sys
 from phylonium_tpu.cli import main
 
 if __name__ == "__main__":
-    rc = main()
+    try:
+        rc = main()
+    except SystemExit as e:
+        rc = int(e.code) if isinstance(e.code, int) else 1
+    except BaseException:
+        # Any crash must still leave through os._exit below: a normal
+        # interpreter teardown kills daemon device threads mid-call
+        # inside the TPU plugin and aborts with "terminate called ..."
+        # (SIGABRT), burying the actual traceback.
+        import traceback
+
+        traceback.print_exc()
+        rc = 1
     # Perf invariant (tested): a host-dispatched run must never import
     # jax — the import alone costs ~1.8 s on this deployment's host.
     if os.environ.get("PHYLONIUM_TPU_EXPECT_NO_JAX") and "jax" in sys.modules:

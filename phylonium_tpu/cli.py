@@ -293,14 +293,11 @@ def main(argv: list[str] | None = None) -> int:
 
     import os
 
-    platform = os.environ.get("PHYLONIUM_TPU_PLATFORM")
-    if platform:
-        # The axon TPU plugin wins platform selection even when
-        # JAX_PLATFORMS=cpu is set in the environment, so honor an
-        # explicit override through the config API.
-        import jax
-
-        jax.config.update("jax_platforms", platform)
+    # PHYLONIUM_TPU_PLATFORM (the axon plugin wins over JAX_PLATFORMS,
+    # so overriding needs the config API) is applied lazily at the
+    # jax-touching chokepoints (utils/platform.ensure_device_plugin):
+    # applying it here would import jax (~1.8 s) even for runs whose
+    # work-based dispatch never leaves the host.
 
     if cfg.print_positions:
         import os
@@ -392,6 +389,9 @@ def main(argv: list[str] | None = None) -> int:
         ).start()
 
     if cfg.profile_dir:
+        from phylonium_tpu.utils.platform import ensure_device_plugin
+
+        ensure_device_plugin()
         import jax
 
         jax.profiler.start_trace(cfg.profile_dir)

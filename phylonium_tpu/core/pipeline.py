@@ -498,10 +498,17 @@ def _pair_counts_device(states: np.ndarray, cfg: RunConfig, progress=None):
             pair_counts_pallas,
             pair_counts_pallas_blocked,
         )
+        from phylonium_tpu.utils.platform import cpu_pinned
 
+        # Mosaic kernels only exist on TPU; an explicit
+        # --count-backend=pallas on a CPU-pinned run gets the interpret
+        # kernel (bit-identical, slow) instead of a crash
+        interpret = cpu_pinned()
         if states.shape[0] > ROW_BLOCK_THRESHOLD:
-            return pair_counts_pallas_blocked(states, progress=progress)
-        return pair_counts_pallas(states)
+            return pair_counts_pallas_blocked(
+                states, progress=progress, interpret=interpret
+            )
+        return pair_counts_pallas(states, interpret=interpret)
     from phylonium_tpu.ops.match_matrix import pair_counts_device
 
     return pair_counts_device(states)

@@ -21,6 +21,13 @@ import sys
 
 def cpu_pinned() -> bool:
     """True when jax is pinned to the CPU backend (tests, forced runs)."""
+    # the product's own override wins unconditionally: every
+    # jax-touching chokepoint applies it via ensure_device_plugin()
+    # before the first backend init, so it IS the effective platform
+    # even before jax loads
+    override = os.environ.get("PHYLONIUM_TPU_PLATFORM")
+    if override:
+        return override.split(",")[0].strip().lower() == "cpu"
     if "jax" not in sys.modules:
         # nobody can have called jax.config.update yet; the env var is
         # the only pin source a future import would see
@@ -67,6 +74,18 @@ def ensure_device_plugin() -> None:
     if _plugin_armed:
         return
     _plugin_armed = True
+    # the CLI's platform override is applied here — lazily, at the
+    # first jax-touching chokepoint — rather than at CLI startup, so a
+    # host-dispatched run under PHYLONIUM_TPU_PLATFORM never pays the
+    # jax import just to configure a backend it won't use
+    override = os.environ.get("PHYLONIUM_TPU_PLATFORM")
+    if override:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", override)
+        except Exception:
+            pass
     stashed = os.environ.get("PHYLONIUM_TPU_DEFER_AXON")
     if not stashed or os.environ.get("PALLAS_AXON_POOL_IPS"):
         return
@@ -101,6 +120,7 @@ def devices_or_none(timeout_s: float = 120.0):
     runtime as unreachable.  Instant when the backend is already up or
     the process is CPU-pinned.
     """
+    ensure_device_plugin()
     import jax
 
     if cpu_pinned() or backends_initialized():
@@ -108,7 +128,6 @@ def devices_or_none(timeout_s: float = 120.0):
             return jax.devices()
         except Exception:
             return None
-    ensure_device_plugin()
 
     import threading
 

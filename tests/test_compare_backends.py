@@ -185,3 +185,17 @@ def test_hybrid_rejects_oversized_single_query(monkeypatch):
 
     with pytest.raises(ValueError, match="int32"):
         hm.hybrid_map_queries(FakeRef(), 20, [FakeHuge()])
+
+
+def test_explicit_pallas_on_cpu_runs_interpret(states):
+    """--count-backend=pallas on a CPU-pinned run must execute the
+    interpret kernel (bit-identical), not crash with Mosaic's
+    'Only interpret mode is supported on CPU backend'."""
+    import numpy as np
+
+    subs, homs = pair_counts(
+        states, RunConfig(count_backend="pallas", progress="never")
+    )
+    es, eh = pair_counts_numpy(states)
+    np.testing.assert_array_equal(subs, es)
+    np.testing.assert_array_equal(homs, eh)
