@@ -42,16 +42,6 @@ using u8 = uint8_t;
 
 namespace {
 
-constexpr i64 EMPTY = -1;
-
-struct SaisBuffers {
-    std::vector<i64> bucket;      // bucket boundaries
-};
-
-inline bool is_lms(const std::vector<u8> &types, i64 i) {
-    return i > 0 && types[i] && !types[i - 1];  // S after L
-}
-
 // types[i] = 1 for S-type, 0 for L-type
 template <typename CharT>
 static void classify(const CharT *T, i64 n, std::vector<u8> &types) {
@@ -67,38 +57,52 @@ static void classify(const CharT *T, i64 n, std::vector<u8> &types) {
     }
 }
 
-template <typename CharT>
-static void bucket_sizes(const CharT *T, i64 n, i64 K, std::vector<i64> &cnt) {
+inline bool is_lms(const std::vector<u8> &types, i64 i) {
+    return i > 0 && types[i] && !types[i - 1];  // S after L
+}
+
+// The whole construction is templated on the index width: texts that
+// fit int32 (every genome; 2^31 chars) run with 4-byte indices, which
+// halves the memory traffic of the SA/bucket/name arrays — SA-IS is
+// memory-bound, so this is a direct wall-clock win on the index phase.
+template <typename CharT, typename IdxT>
+static void bucket_sizes(const CharT *T, i64 n, i64 K,
+                         std::vector<IdxT> &cnt) {
     cnt.assign(K, 0);
     for (i64 i = 0; i < n; i++) cnt[T[i]]++;
 }
 
-static void bucket_starts(const std::vector<i64> &cnt, std::vector<i64> &out) {
+template <typename IdxT>
+static void bucket_starts(const std::vector<IdxT> &cnt,
+                          std::vector<IdxT> &out) {
     out.resize(cnt.size());
-    i64 sum = 0;
+    IdxT sum = 0;
     for (size_t c = 0; c < cnt.size(); c++) {
         out[c] = sum;
         sum += cnt[c];
     }
 }
 
-static void bucket_ends(const std::vector<i64> &cnt, std::vector<i64> &out) {
+template <typename IdxT>
+static void bucket_ends(const std::vector<IdxT> &cnt,
+                        std::vector<IdxT> &out) {
     out.resize(cnt.size());
-    i64 sum = 0;
+    IdxT sum = 0;
     for (size_t c = 0; c < cnt.size(); c++) {
         sum += cnt[c];
         out[c] = sum;
     }
 }
 
-template <typename CharT>
-static void induce(const CharT *T, i64 n, i64 K, const std::vector<u8> &types,
-                   const std::vector<i64> &cnt, std::vector<i64> &SA) {
-    std::vector<i64> ptr;
+template <typename CharT, typename IdxT>
+static void induce(const CharT *T, i64 n, i64 K,
+                   const std::vector<u8> &types,
+                   const std::vector<IdxT> &cnt, std::vector<IdxT> &SA) {
+    std::vector<IdxT> ptr;
     // induce L-types left to right from bucket heads
     bucket_starts(cnt, ptr);
     for (i64 i = 0; i < n; i++) {
-        i64 j = SA[i];
+        IdxT j = SA[i];
         if (j > 0 && !types[j - 1]) {
             SA[ptr[T[j - 1]]++] = j - 1;
         }
@@ -106,16 +110,17 @@ static void induce(const CharT *T, i64 n, i64 K, const std::vector<u8> &types,
     // induce S-types right to left from bucket ends
     bucket_ends(cnt, ptr);
     for (i64 i = n - 1; i >= 0; i--) {
-        i64 j = SA[i];
+        IdxT j = SA[i];
         if (j > 0 && types[j - 1]) {
             SA[--ptr[T[j - 1]]] = j - 1;
         }
     }
 }
 
-template <typename CharT>
-static void sais_rec(const CharT *T, i64 n, i64 K, std::vector<i64> &SA) {
+template <typename CharT, typename IdxT>
+static void sais_rec(const CharT *T, i64 n, i64 K, std::vector<IdxT> &SA) {
     // T[n-1] must be a unique smallest sentinel (value 0).
+    const IdxT EMPTY = (IdxT)-1;
     SA.assign(n, EMPTY);
     if (n == 1) {
         SA[0] = 0;
@@ -125,21 +130,21 @@ static void sais_rec(const CharT *T, i64 n, i64 K, std::vector<i64> &SA) {
     std::vector<u8> types;
     classify(T, n, types);
 
-    std::vector<i64> cnt;
+    std::vector<IdxT> cnt;
     bucket_sizes(T, n, K, cnt);
 
     // ---- step 1: sort LMS substrings by induction ----
     {
-        std::vector<i64> ptr;
+        std::vector<IdxT> ptr;
         bucket_ends(cnt, ptr);
         for (i64 i = n - 1; i > 0; i--) {
-            if (is_lms(types, i)) SA[--ptr[T[i]]] = i;
+            if (is_lms(types, i)) SA[--ptr[T[i]]] = (IdxT)i;
         }
         induce(T, n, K, types, cnt, SA);
     }
 
     // collect sorted LMS positions
-    std::vector<i64> lms_sorted;
+    std::vector<IdxT> lms_sorted;
     lms_sorted.reserve(n / 2 + 1);
     for (i64 i = 0; i < n; i++) {
         if (SA[i] > 0 && is_lms(types, SA[i])) lms_sorted.push_back(SA[i]);
@@ -150,13 +155,13 @@ static void sais_rec(const CharT *T, i64 n, i64 K, std::vector<i64> &SA) {
     i64 n_lms = (i64)lms_sorted.size();
 
     // ---- step 2: name LMS substrings ----
-    std::vector<i64> name_of(n, EMPTY);
+    std::vector<IdxT> name_of(n, EMPTY);
     i64 names = 0;
-    i64 prev = EMPTY;
+    i64 prev = -1;
     for (i64 k = 0; k < n_lms; k++) {
         i64 pos = lms_sorted[k];
         bool differ = false;
-        if (prev == EMPTY) {
+        if (prev == -1) {
             differ = true;
         } else {
             // compare LMS substrings starting at prev and pos
@@ -178,25 +183,25 @@ static void sais_rec(const CharT *T, i64 n, i64 K, std::vector<i64> &SA) {
             names++;
             prev = pos;
         }
-        name_of[pos] = names - 1;
+        name_of[pos] = (IdxT)(names - 1);
     }
 
     // LMS positions in text order + their names
-    std::vector<i64> lms_text;
+    std::vector<IdxT> lms_text;
     lms_text.reserve(n_lms);
     for (i64 i = 0; i < n; i++) {
-        if (is_lms(types, i)) lms_text.push_back(i);
+        if (is_lms(types, i)) lms_text.push_back((IdxT)i);
     }
 
-    std::vector<i64> lms_order(n_lms);
+    std::vector<IdxT> lms_order(n_lms);
     if (names < n_lms) {
         // recurse on the reduced string of names (append handled by the
         // sentinel name being unique smallest: the last LMS is the
         // sentinel suffix itself and already named)
-        std::vector<i64> reduced((size_t)lms_text.size());
+        std::vector<IdxT> reduced((size_t)lms_text.size());
         for (size_t k = 0; k < lms_text.size(); k++)
             reduced[k] = name_of[lms_text[k]];
-        std::vector<i64> sub_sa;
+        std::vector<IdxT> sub_sa;
         sais_rec(reduced.data(), (i64)reduced.size(), names, sub_sa);
         for (i64 k = 0; k < n_lms; k++) lms_order[k] = lms_text[sub_sa[k]];
     } else {
@@ -207,10 +212,10 @@ static void sais_rec(const CharT *T, i64 n, i64 K, std::vector<i64> &SA) {
     // ---- step 3: induce final SA from sorted LMS positions ----
     SA.assign(n, EMPTY);
     {
-        std::vector<i64> ptr;
+        std::vector<IdxT> ptr;
         bucket_ends(cnt, ptr);
         for (i64 k = n_lms - 1; k >= 0; k--) {
-            i64 pos = lms_order[k];
+            IdxT pos = lms_order[k];
             SA[--ptr[T[pos]]] = pos;
         }
         induce(T, n, K, types, cnt, SA);
@@ -232,20 +237,30 @@ static std::vector<i64> build_sa_bytes(const u8 *s, i64 n) {
             break;
         }
     }
-    std::vector<i64> sa_full;
-    if (!has_nul) {
-        std::vector<u8> T((size_t)n + 1);
-        std::memcpy(T.data(), s, (size_t)n);
-        T[n] = 0;
-        sais_rec(T.data(), n + 1, 256, sa_full);
-    } else {
-        std::vector<int32_t> T((size_t)n + 1);
-        for (i64 i = 0; i < n; i++) T[i] = (int32_t)s[i] + 1;
-        T[n] = 0;
-        sais_rec(T.data(), n + 1, 257, sa_full);
-    }
-    // drop the sentinel suffix (always first)
-    return std::vector<i64>(sa_full.begin() + 1, sa_full.end());
+    const bool fits32 = n + 1 < (i64)INT32_MAX;
+    std::vector<i64> out((size_t)n);
+    auto run = [&](auto idx_tag) {
+        using IdxT = decltype(idx_tag);
+        std::vector<IdxT> sa_full;
+        if (!has_nul) {
+            std::vector<u8> T((size_t)n + 1);
+            std::memcpy(T.data(), s, (size_t)n);
+            T[n] = 0;
+            sais_rec(T.data(), n + 1, 256, sa_full);
+        } else {
+            std::vector<int32_t> T((size_t)n + 1);
+            for (i64 i = 0; i < n; i++) T[i] = (int32_t)s[i] + 1;
+            T[n] = 0;
+            sais_rec(T.data(), n + 1, 257, sa_full);
+        }
+        // drop the sentinel suffix (always first)
+        for (i64 i = 0; i < n; i++) out[i] = (i64)sa_full[i + 1];
+    };
+    if (fits32)
+        run(int32_t{});
+    else
+        run(i64{});
+    return out;
 }
 
 // ---------------------------------------------------------------------------
