@@ -1319,6 +1319,46 @@ static void count_pair_avx2(const u8 *a, const u8 *b, i64 len, i64 *matches,
 }  // namespace
 #endif  // __AVX2__
 
+#ifdef __AVX512BW__
+namespace {
+
+// AVX-512BW variant: 64 columns per iteration, and the 0/1 counting
+// collapses into mask-register popcounts (no byte accumulators, no
+// psadbw reduction).  The library builds with -march=native on the
+// machine it runs on, so this is compile-time selected.
+static void count_pair_avx512(const u8 *a, const u8 *b, i64 len,
+                              i64 *matches, i64 *valid) {
+    const __m512i inv = _mm512_set1_epi8((char)PILE_INVALID);
+    const __m128i ta = _mm_loadu_si128((const __m128i *)CROSS.a);
+    const __m128i tb = _mm_loadu_si128((const __m128i *)CROSS.b);
+    const __m512i cross_a = _mm512_broadcast_i32x4(ta);
+    const __m512i cross_b = _mm512_broadcast_i32x4(tb);
+
+    i64 m = 0, v = 0;
+    i64 k = 0;
+    for (; k + 64 <= len; k += 64) {
+        __m512i x = _mm512_loadu_si512((const void *)(a + k));
+        __m512i y = _mm512_loadu_si512((const void *)(b + k));
+        __mmask64 ok = _mm512_cmpneq_epi8_mask(x, inv) &
+                       _mm512_cmpneq_epi8_mask(y, inv);
+        // same-strand: equal states (both valid)
+        __mmask64 same = _mm512_cmpeq_epi8_mask(x, y) & ok;
+        // cross-strand: y equals one of x's complement partners
+        // (vpshufb per 128-bit lane, same table as the AVX2 path)
+        __mmask64 cross =
+            _mm512_cmpeq_epi8_mask(y, _mm512_shuffle_epi8(cross_a, x)) |
+            _mm512_cmpeq_epi8_mask(y, _mm512_shuffle_epi8(cross_b, x));
+        m += (i64)__builtin_popcountll((unsigned long long)(same | cross));
+        v += (i64)__builtin_popcountll((unsigned long long)ok);
+    }
+    *matches += m;
+    *valid += v;
+    if (k < len) count_pair_scalar(a + k, b + k, len - k, matches, valid);
+}
+
+}  // namespace
+#endif  // __AVX512BW__
+
 // Split-layout nibble packing of the pileup (the host side of the packed
 // device path, see ops/pallas_match.pack_states): byte [g, j] =
 // state[g, j] | state[g, j + ceil(L/2)] << 4, INVALID-padded.  One pass,
@@ -1455,7 +1495,9 @@ void phy_pair_counts(const u8 *states, i64 n, i64 stride, i64 col_lo,
             const u8 *a = states + i * stride + col_lo;
             const u8 *b = states + j * stride + col_lo;
             i64 m = 0, v = 0;
-#ifdef __AVX2__
+#if defined(__AVX512BW__)
+            count_pair_avx512(a, b, len, &m, &v);
+#elif defined(__AVX2__)
             count_pair_avx2(a, b, len, &m, &v);
 #else
             count_pair_scalar(a, b, len, &m, &v);
