@@ -8,6 +8,8 @@ if __name__ == "__main__":
         rc = main()
     except SystemExit as e:
         rc = int(e.code) if isinstance(e.code, int) else 1
+    except KeyboardInterrupt:
+        rc = 130  # conventional SIGINT exit, no traceback noise
     except BaseException:
         # Any crash must still leave through os._exit below: a normal
         # interpreter teardown kills daemon device threads mid-call

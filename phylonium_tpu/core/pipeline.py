@@ -487,18 +487,26 @@ def _pair_counts_device(states: np.ndarray, cfg: RunConfig, progress=None):
     """Single-device counting: fused Pallas kernel on TPU, XLA einsum
     elsewhere."""
     from phylonium_tpu.utils.cache import enable_compile_cache
-    from phylonium_tpu.utils.platform import ensure_device_plugin
+    from phylonium_tpu.utils.platform import cpu_pinned, ensure_device_plugin
 
     ensure_device_plugin()  # device chokepoint (idempotent)
     enable_compile_cache()
     _maybe_inject_abort()
     _maybe_inject_hang()
+    # CPU-pinned runs need no backend handshake; everything else must
+    # actually reach a device — an unreachable (wedged/absent) backend
+    # raises here as UNAVAILABLE so the resilience wrapper falls back
+    # after one bounded handshake instead of stalling a full attempt
+    # bound inside the first kernel launch
+    if not cpu_pinned() and _dispatch_devices() is None:
+        raise RuntimeError(
+            "UNAVAILABLE: backend handshake timed out or failed"
+        )
     if _use_pallas(cfg):
         from phylonium_tpu.ops.pallas_match import (
             pair_counts_pallas,
             pair_counts_pallas_blocked,
         )
-        from phylonium_tpu.utils.platform import cpu_pinned
 
         # Mosaic kernels only exist on TPU; an explicit
         # --count-backend=pallas on a CPU-pinned run gets the interpret
@@ -643,10 +651,11 @@ def pair_counts(
 
         return pair_counts_host(states, progress=progress)
 
-    # the mesh engages for 'auto' and for an explicit --mesh; an
+    # an explicit --mesh names the collective path (its device count is
+    # the mesh shape — no backend handshake needed to decide); an
     # explicit 'pallas'/'device' names the single-device path and must
     # actually run it (reproducibility/debugging)
-    if (backend == "auto" or cfg.mesh) and _mesh_device_count(cfg) > 1:
+    if cfg.mesh and _mesh_device_count(cfg) > 1:
         # multi-PROCESS runs must not retry/fall back per process: a
         # lone process abandoning the collective would desync or hang
         # its peers mid-psum.  Single-process meshes get the full
@@ -664,13 +673,34 @@ def pair_counts(
             progress(1.0)
         return result
 
-    if backend == "auto" and _use_pallas(cfg):
-        # the race already absorbs device failures (the host leg wins)
-        return _race_host(
-            states,
-            lambda: _pair_counts_device(states, cfg, progress),
-            progress,
-        )
+    if backend == "auto" and _is_multiprocess():
+        # pod runs: every process joins the collective, no race/fallback
+        result = _pair_counts_mesh(states, cfg)
+        if progress is not None:
+            progress(1.0)
+        return result
+
+    if backend == "auto":
+        # Single-process auto: EVERY device decision — the backend
+        # handshake, the device count (mesh vs single chip), the kernel
+        # choice — happens on the race thread.  A wedged tunnel that
+        # hangs the handshake therefore costs nothing: the host leg
+        # starts immediately and wins (device failures lose the race,
+        # they never propagate).
+        def device_leg():
+            devs = _dispatch_devices()
+            if not devs:
+                raise RuntimeError(
+                    "UNAVAILABLE: backend handshake timed out or failed"
+                )
+            if len(devs) > 1:
+                return _pair_counts_mesh(states, cfg)
+            return _pair_counts_device(states, cfg, progress)
+
+        result = _race_host(states, device_leg, progress)
+        if progress is not None:
+            progress(1.0)
+        return result
     return _resilient_device_counts(
         lambda: _pair_counts_device(states, cfg, progress),
         states, cfg, progress, backend,
@@ -871,7 +901,11 @@ def process(
         and not cfg.print_positions
     ):
         from phylonium_tpu.ops.pileup_device import build_pileup_device
+        from phylonium_tpu.utils.cache import enable_compile_cache
+        from phylonium_tpu.utils.platform import ensure_device_plugin
 
+        ensure_device_plugin()  # device chokepoint (idempotent)
+        enable_compile_cache()
         states = build_pileup_device(
             query_arrays, homologies, len(subject)
         )

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import sys
+import threading
 
 
 def cpu_pinned() -> bool:
@@ -54,6 +55,7 @@ def backends_initialized() -> bool:
 
 
 _plugin_armed = False
+_plugin_lock = threading.Lock()
 
 
 def ensure_device_plugin() -> None:
@@ -73,32 +75,41 @@ def ensure_device_plugin() -> None:
     global _plugin_armed
     if _plugin_armed:
         return
-    _plugin_armed = True
-    # the CLI's platform override is applied here — lazily, at the
-    # first jax-touching chokepoint — rather than at CLI startup, so a
-    # host-dispatched run under PHYLONIUM_TPU_PLATFORM never pays the
-    # jax import just to configure a backend it won't use
-    override = os.environ.get("PHYLONIUM_TPU_PLATFORM")
-    if override:
-        try:
-            import jax
+    # concurrent device-bound threads (cli backend-init, prewarm
+    # worker, the compare race) must BLOCK until the registration
+    # completes — an early-returning second caller could initialize the
+    # backend before the plugin lands, silently pinning a healthy TPU
+    # run to CPU (the flag is set only after the work is done)
+    with _plugin_lock:
+        if _plugin_armed:
+            return
+        # the CLI's platform override is applied here — lazily, at the
+        # first jax-touching chokepoint — rather than at CLI startup,
+        # so a host-dispatched run under PHYLONIUM_TPU_PLATFORM never
+        # pays the jax import just to configure a backend it won't use
+        override = os.environ.get("PHYLONIUM_TPU_PLATFORM")
+        if override:
+            try:
+                import jax
 
-            jax.config.update("jax_platforms", override)
-        except Exception:
-            pass
-    stashed = os.environ.get("PHYLONIUM_TPU_DEFER_AXON")
-    if not stashed or os.environ.get("PALLAS_AXON_POOL_IPS"):
-        return
-    if backends_initialized():
-        return  # too late: plugins register before the first handshake
-    os.environ["PALLAS_AXON_POOL_IPS"] = stashed
-    try:
-        import importlib
-        import sitecustomize
+                jax.config.update("jax_platforms", override)
+            except Exception:
+                pass
+        stashed = os.environ.get("PHYLONIUM_TPU_DEFER_AXON")
+        if (
+            stashed
+            and not os.environ.get("PALLAS_AXON_POOL_IPS")
+            and not backends_initialized()
+        ):
+            os.environ["PALLAS_AXON_POOL_IPS"] = stashed
+            try:
+                import importlib
+                import sitecustomize
 
-        importlib.reload(sitecustomize)
-    except Exception:
-        pass  # best-effort; the host paths stay bit-identical
+                importlib.reload(sitecustomize)
+            except Exception:
+                pass  # best-effort; host paths stay bit-identical
+        _plugin_armed = True
 
 
 # one shared handshake attempt per process: concurrent/later callers
@@ -106,7 +117,7 @@ def ensure_device_plugin() -> None:
 # backend, and once a caller has given up every later call returns
 # None instantly (unless the handshake completed in the meantime)
 _handshake: dict = {}
-_handshake_lock = None
+_handshake_lock = threading.Lock()
 
 
 def devices_or_none(timeout_s: float = 120.0):
@@ -129,11 +140,6 @@ def devices_or_none(timeout_s: float = 120.0):
         except Exception:
             return None
 
-    import threading
-
-    global _handshake_lock
-    if _handshake_lock is None:
-        _handshake_lock = threading.Lock()
     with _handshake_lock:
         t = _handshake.get("thread")
         if t is None:

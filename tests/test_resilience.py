@@ -327,3 +327,40 @@ def test_hybrid_map_falls_back_on_transient_abort(tmp_path, capsys, monkeypatch)
     assert rc1 == 0
     assert faulted == clean
     assert "hybrid mapping" in capsys.readouterr().err
+
+
+def test_dead_handshake_explicit_device_fast_fallback(
+    states, capsys, monkeypatch
+):
+    """With the backend handshake dead (devices_or_none memoized None),
+    an explicit device backend must raise UNAVAILABLE out of the first
+    attempt and land on the host path — not stall a full attempt bound
+    inside a kernel launch."""
+    import time
+
+    import phylonium_tpu.utils.platform as plat
+
+    monkeypatch.setattr(pipe, "_dispatch_devices", lambda: None)
+    monkeypatch.setattr(plat, "cpu_pinned", lambda: False)
+    cfg = RunConfig(count_backend="device", progress="never")
+    t0 = time.time()
+    subs, homs = pair_counts(states, cfg)
+    assert time.time() - t0 < 60
+    es, eh = _expect(states)
+    np.testing.assert_array_equal(subs, es)
+    np.testing.assert_array_equal(homs, eh)
+    assert "host" in capsys.readouterr().err
+
+
+def test_dead_handshake_auto_races_to_host(states, monkeypatch):
+    """Auto dispatch makes every device decision on the race thread;
+    a dead handshake just loses the race."""
+    import phylonium_tpu.utils.platform as plat
+
+    monkeypatch.setattr(pipe, "_dispatch_devices", lambda: None)
+    monkeypatch.setattr(plat, "cpu_pinned", lambda: False)
+    cfg = RunConfig(count_backend="auto", progress="never")
+    subs, homs = pair_counts(states, cfg)
+    es, eh = _expect(states)
+    np.testing.assert_array_equal(subs, es)
+    np.testing.assert_array_equal(homs, eh)
