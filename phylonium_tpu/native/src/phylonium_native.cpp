@@ -1426,6 +1426,59 @@ i64 phy_pack2(const u8 *const *qptrs, const i64 *qlens, i64 nq,
 // records each; queries are concatenated in qdata with qoffsets.
 // Returns 0, or 1 + sets *bad_byte when a query byte is outside the
 // filtered alphabet (caller raises).
+#ifdef __AVX512VBMI__
+namespace {
+
+// 64-entry byte→code table indexed by (byte & 63): 'A'&63=1, 'C'&63=3,
+// 'G'&63=7, 'T'&63=20, '!'&63=33 — all distinct, so after validation a
+// single vpermb translates 64 query bytes to pileup codes.
+struct PileLut {
+    alignas(64) u8 code[64];
+    alignas(64) u8 rev[64];  // byte-reverse permutation 63..0
+};
+
+static PileLut make_pile_lut() {
+    PileLut t;
+    std::memset(t.code, 0, sizeof(t.code));
+    const char *bases = "ACGT!";
+    for (int c = 0; c < 5; c++) t.code[(u8)bases[c] & 63] = (u8)c;
+    for (int i = 0; i < 64; i++) t.rev[i] = (u8)(63 - i);
+    return t;
+}
+
+static const PileLut PILE_LUT = make_pile_lut();
+
+// true iff every byte of q is in {A,C,G,T,'!'}; else *bad = offender
+static bool pile_validate_avx512(const u8 *q, i64 n, u8 *bad) {
+    const __m512i vA = _mm512_set1_epi8('A'), vC = _mm512_set1_epi8('C');
+    const __m512i vG = _mm512_set1_epi8('G'), vT = _mm512_set1_epi8('T');
+    const __m512i vX = _mm512_set1_epi8('!');
+    i64 k = 0;
+    for (; k + 64 <= n; k += 64) {
+        __m512i x = _mm512_loadu_si512((const void *)(q + k));
+        __mmask64 ok = _mm512_cmpeq_epi8_mask(x, vA) |
+                       _mm512_cmpeq_epi8_mask(x, vC) |
+                       _mm512_cmpeq_epi8_mask(x, vG) |
+                       _mm512_cmpeq_epi8_mask(x, vT) |
+                       _mm512_cmpeq_epi8_mask(x, vX);
+        if (ok != ~0ULL) {
+            *bad = q[k + __builtin_ctzll(~(unsigned long long)ok)];
+            return false;
+        }
+    }
+    for (; k < n; k++) {
+        u8 c = q[k];
+        if (c != 'A' && c != 'C' && c != 'G' && c != 'T' && c != '!') {
+            *bad = c;
+            return false;
+        }
+    }
+    return true;
+}
+
+}  // namespace
+#endif  // __AVX512VBMI__
+
 int phy_build_pileup(const u8 *const *qptrs, const i64 *qlens,
                      const i64 *homs, const i64 *hom_counts, i64 n,
                      i64 ref_len, u8 *out, i64 *bad_byte) {
@@ -1442,12 +1495,43 @@ int phy_build_pileup(const u8 *const *qptrs, const i64 *qlens,
 #pragma omp parallel for schedule(dynamic)
     for (i64 g = 0; g < n; g++) {
         u8 *row = out + g * ref_len;
-        std::memset(row, PILE_INVALID, (size_t)ref_len);
+        // Rows are ~fully covered by disjoint, start-sorted spans
+        // (filter_overlaps_max), so memsetting the whole row and then
+        // overwriting ~99% of it doubles the write traffic; when the
+        // spans verify as sorted/disjoint/in-bounds, fill only the
+        // gaps.  Anything irregular falls back to the full memset.
+        bool gap_fill = true;
+        {
+            i64 cur = 0;
+            for (i64 r = hom_offsets[g]; r < hom_offsets[g + 1]; r++) {
+                const i64 *rec = homs + 4 * r;
+                i64 start = rec[2], len = rec[3];
+                if (len <= 0) continue;
+                if (start < cur || start + len > ref_len) {
+                    gap_fill = false;
+                    break;
+                }
+                cur = start + len;
+            }
+        }
+        if (!gap_fill) std::memset(row, PILE_INVALID, (size_t)ref_len);
+        i64 cursor = 0;
         const u8 *q = qptrs[g];
         const i64 qlen = qlens[g];
         // validate the whole query up front (same contract as
         // core/pileup.byte_to_code, which codes the full sequence)
         bool bad = false;
+#ifdef __AVX512VBMI__
+        u8 offender = 0;
+        if (!pile_validate_avx512(q, qlen, &offender)) {
+#pragma omp critical
+            {
+                failed = 1;
+                *bad_byte = offender;
+            }
+            bad = true;
+        }
+#else
         for (i64 t = 0; t < qlen; t++) {
             if (code_of[q[t]] < 0) {
 #pragma omp critical
@@ -1459,11 +1543,58 @@ int phy_build_pileup(const u8 *const *qptrs, const i64 *qlens,
                 break;
             }
         }
-        if (bad) continue;
+#endif
+        if (bad) {
+            if (gap_fill)
+                std::memset(row, PILE_INVALID, (size_t)ref_len);
+            continue;
+        }
         for (i64 r = hom_offsets[g]; r < hom_offsets[g + 1]; r++) {
             const i64 *rec = homs + 4 * r;
             i64 dir = rec[0], iq = rec[1], start = rec[2], len = rec[3];
             if (len <= 0) continue;
+            if (gap_fill) {
+                if (start > cursor)
+                    std::memset(row + cursor, PILE_INVALID,
+                                (size_t)(start - cursor));
+                cursor = start + len;
+            }
+#ifdef __AVX512VBMI__
+            // vpermb translate: 64 bytes/iter (reverse spans also flip
+            // byte order in-register); tails fall to the scalar loop
+            const __m512i lut = _mm512_load_si512((const void *)PILE_LUT.code);
+            const __m512i rev = _mm512_load_si512((const void *)PILE_LUT.rev);
+            const __m512i m63 = _mm512_set1_epi8(63);
+            const __m512i five = _mm512_set1_epi8(5);
+            i64 k = 0;
+            if (dir) {
+                const u8 *src = q + iq;
+                for (; k + 64 <= len; k += 64) {
+                    __m512i x = _mm512_loadu_si512(
+                        (const void *)(src + len - k - 64));
+                    x = _mm512_permutexvar_epi8(rev, x);
+                    __m512i codes = _mm512_add_epi8(
+                        _mm512_permutexvar_epi8(
+                            _mm512_and_si512(x, m63), lut),
+                        five);
+                    _mm512_storeu_si512((void *)(row + start + k), codes);
+                }
+                const u8 *bsrc = q + iq + len - 1;
+                for (; k < len; k++)
+                    row[start + k] = (u8)(code_of[bsrc[-k]] + 5);
+            } else {
+                const u8 *src = q + iq;
+                for (; k + 64 <= len; k += 64) {
+                    __m512i x =
+                        _mm512_loadu_si512((const void *)(src + k));
+                    __m512i codes = _mm512_permutexvar_epi8(
+                        _mm512_and_si512(x, m63), lut);
+                    _mm512_storeu_si512((void *)(row + start + k), codes);
+                }
+                for (; k < len; k++)
+                    row[start + k] = (u8)code_of[src[k]];
+            }
+#else
             if (dir) {
                 const u8 *src = q + iq + len - 1;
                 // ref column start+k aligns with query byte iq+len-1-k
@@ -1475,7 +1606,11 @@ int phy_build_pileup(const u8 *const *qptrs, const i64 *qlens,
                 for (i64 k = 0; k < len; k++)
                     row[start + k] = (u8)code_of[src[k]];
             }
+#endif
         }
+        if (gap_fill && cursor < ref_len)
+            std::memset(row + cursor, PILE_INVALID,
+                        (size_t)(ref_len - cursor));
     }
     return failed;
 }
