@@ -681,6 +681,18 @@ def pair_counts(
         return result
 
     if backend == "auto":
+        from phylonium_tpu.utils.platform import cpu_pinned
+
+        if cpu_pinned():
+            # the "device" IS this CPU: racing it against the host
+            # kernel would split the one core and leave the loser
+            # thread inside XLA at interpreter exit — fatal for
+            # in-process callers (dryrun_multichip, tests), pointless
+            # for perf.  The host kernel is the fastest CPU path.
+            from phylonium_tpu.ops.bitplane_host import pair_counts_host
+
+            return pair_counts_host(states, progress=progress)
+
         # Single-process auto: EVERY device decision — the backend
         # handshake, the device count (mesh vs single chip), the kernel
         # choice — happens on the race thread.  A wedged tunnel that
