@@ -431,13 +431,15 @@ class NativeESA:
         """Batch-map ``queries``; ``progress_out`` (shape-[1] int64) is
         incremented per completed query for live progress polling.
 
-        The native call is chunked to ~the interleaver's chain width:
-        batches much larger than K queries measured ~2x slower at every
-        driver scale (the chain refill spreads the active text window
-        across the whole batch), while per-call overhead is a buffer
-        copy that is proportional, not fixed.  Outputs are identical
-        for any chunking (the mapper is per-query); tunable via
-        PHYLONIUM_TPU_MAP_BATCH, 0 = one call.
+        The native call is chunked (default 32 queries): the wrapper
+        copies the batch's text into one buffer BEFORE mapping starts,
+        so chunks that fit in L3 are still cache-resident when the
+        latency-bound chain probes read them, while a whole-panel copy
+        is long evicted by the time the mapper reaches its tail —
+        measured ~2x at every driver scale (600x1M single call
+        14.7-16.5 s vs 8.0-8.4 s; 116x5M 18.5-19.7 s vs 9.9-10.8 s).
+        Outputs are identical for any chunking (the mapper is
+        per-query); tunable via PHYLONIUM_TPU_MAP_BATCH, 0 = one call.
         """
         import os
 
