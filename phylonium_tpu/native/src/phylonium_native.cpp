@@ -1359,6 +1359,220 @@ static void count_pair_avx512(const u8 *a, const u8 *b, i64 len,
 }  // namespace
 #endif  // __AVX512BW__
 
+#if defined(__AVX512BW__) && defined(__AVX512VPOPCNTDQ__)
+namespace {
+
+// ---------------------------------------------------------------------------
+// Bitplane counting path: raises the byte kernel's compute ceiling.
+//
+// Each genome's chunk is transposed into 6 one-hot planes (A/C/G/T base
+// one-hot regardless of strand; strand; valid), blocked 512 columns at a
+// time (6 planes x 64 B per block, genome-major), i.e. 0.75 bytes/column
+// vs the byte domain's 1.  Per pair and 512-column block the match rule
+// collapses to ~16 vector ops via vpternlogq OR-of-AND folds and a
+// strand select, counted with vpopcntq:
+//
+//   same  = (Ai&Aj)|(Ci&Cj)|(Gi&Gj)|(Ti&Tj)         equal bases
+//   cross = (Ai&Tj)|(Ti&Aj)|(Ci&Gj)|(Gi&Cj)         complement pairs
+//   match = (strand_i ^ strand_j ? cross : same) & Vi & Vj
+//
+// '!' separator states (base 4, either strand) carry no base plane, so
+// the plane kernel scores every column where either side is '!' as a
+// non-match; their true (rare — one per contig border, incl. the '!'/T
+// quirk) contributions are re-scored scalar from sparse per-genome
+// column lists.  Bit-identical to the byte path for states 0..10.
+// ---------------------------------------------------------------------------
+
+constexpr i64 PLANE_BLOCK = 512;           // columns per block
+constexpr i64 PLANE_BLOCK_BYTES = 6 * 64;  // bytes per block per genome
+
+// one genome's planes for `cols` columns of s into out (caller-zeroed,
+// (ceil(cols/512) blocks); '!' column indices (relative) appended to seps
+static void build_planes_row(const u8 *s, i64 cols, u8 *out,
+                             std::vector<i64> *seps) {
+    const __m512i v5 = _mm512_set1_epi8(5), v9 = _mm512_set1_epi8(9);
+    const __m512i vinv = _mm512_set1_epi8((char)PILE_INVALID);
+    const i64 ngrp = (cols + 63) / 64;
+    for (i64 g = 0; g < ngrp; g++) {
+        const i64 base_col = g * 64;
+        const i64 rem = cols - base_col;
+        const __mmask64 live =
+            rem >= 64 ? ~0ULL : ((1ULL << rem) - 1);
+        const __m512i x = _mm512_maskz_loadu_epi8(live, s + base_col);
+        // dead lanes read as state 0 (A/fwd): mask A and valid by live
+        const __mmask64 kA =
+            (_mm512_cmpeq_epi8_mask(x, _mm512_setzero_si512()) |
+             _mm512_cmpeq_epi8_mask(x, v5)) & live;
+        const __mmask64 kC =
+            _mm512_cmpeq_epi8_mask(x, _mm512_set1_epi8(1)) |
+            _mm512_cmpeq_epi8_mask(x, _mm512_set1_epi8(6));
+        const __mmask64 kG =
+            _mm512_cmpeq_epi8_mask(x, _mm512_set1_epi8(2)) |
+            _mm512_cmpeq_epi8_mask(x, _mm512_set1_epi8(7));
+        const __mmask64 kT =
+            _mm512_cmpeq_epi8_mask(x, _mm512_set1_epi8(3)) |
+            _mm512_cmpeq_epi8_mask(x, _mm512_set1_epi8(8));
+        const __mmask64 kS =
+            _mm512_cmp_epu8_mask(x, v5, _MM_CMPINT_NLT) &
+            _mm512_cmp_epu8_mask(x, v9, _MM_CMPINT_LE);
+        const __mmask64 kV = _mm512_cmpneq_epi8_mask(x, vinv) & live;
+        u8 *blk = out + (g / 8) * PLANE_BLOCK_BYTES + (g % 8) * 8;
+        const unsigned long long words[6] = {kA, kC, kG, kT, kS, kV};
+        for (int p = 0; p < 6; p++)
+            std::memcpy(blk + p * 64, &words[p], 8);
+        __mmask64 kX =
+            (_mm512_cmpeq_epi8_mask(x, _mm512_set1_epi8(4)) |
+             _mm512_cmpeq_epi8_mask(x, v9)) & live;
+        while (kX) {
+            seps->push_back(base_col + __builtin_ctzll(kX));
+            kX &= kX - 1;
+        }
+    }
+}
+
+// counts for one pair over nblk plane blocks
+static void count_pair_planes(const u8 *pa, const u8 *pb, i64 nblk,
+                              i64 *matches, i64 *valid) {
+    __m512i macc = _mm512_setzero_si512();
+    __m512i vacc = _mm512_setzero_si512();
+    for (i64 b = 0; b < nblk;
+         b++, pa += PLANE_BLOCK_BYTES, pb += PLANE_BLOCK_BYTES) {
+        const __m512i Ai = _mm512_loadu_si512(pa + 0);
+        const __m512i Ci = _mm512_loadu_si512(pa + 64);
+        const __m512i Gi = _mm512_loadu_si512(pa + 128);
+        const __m512i Ti = _mm512_loadu_si512(pa + 192);
+        const __m512i Si = _mm512_loadu_si512(pa + 256);
+        const __m512i Vi = _mm512_loadu_si512(pa + 320);
+        const __m512i Aj = _mm512_loadu_si512(pb + 0);
+        const __m512i Cj = _mm512_loadu_si512(pb + 64);
+        const __m512i Gj = _mm512_loadu_si512(pb + 128);
+        const __m512i Tj = _mm512_loadu_si512(pb + 192);
+        const __m512i Sj = _mm512_loadu_si512(pb + 256);
+        const __m512i Vj = _mm512_loadu_si512(pb + 320);
+        // 0xF8 = a | (b & c): fold one AND+OR per ternlog
+        __m512i same = _mm512_and_si512(Ai, Aj);
+        same = _mm512_ternarylogic_epi64(same, Ci, Cj, 0xF8);
+        same = _mm512_ternarylogic_epi64(same, Gi, Gj, 0xF8);
+        same = _mm512_ternarylogic_epi64(same, Ti, Tj, 0xF8);
+        __m512i cross = _mm512_and_si512(Ai, Tj);
+        cross = _mm512_ternarylogic_epi64(cross, Ti, Aj, 0xF8);
+        cross = _mm512_ternarylogic_epi64(cross, Ci, Gj, 0xF8);
+        cross = _mm512_ternarylogic_epi64(cross, Gi, Cj, 0xF8);
+        const __m512i sd = _mm512_xor_si512(Si, Sj);
+        // 0xCA = a ? b : c
+        const __m512i sel =
+            _mm512_ternarylogic_epi64(sd, cross, same, 0xCA);
+        const __m512i vv = _mm512_and_si512(Vi, Vj);
+        const __m512i mm = _mm512_and_si512(sel, vv);
+        macc = _mm512_add_epi64(macc, _mm512_popcnt_epi64(mm));
+        vacc = _mm512_add_epi64(vacc, _mm512_popcnt_epi64(vv));
+    }
+    *matches += (i64)_mm512_reduce_add_epi64(macc);
+    *valid += (i64)_mm512_reduce_add_epi64(vacc);
+}
+
+// true match count over the union of two sorted '!' column lists (the
+// plane kernel scored all of these 0); same scalar rule as
+// count_pair_scalar, one column at a time
+static i64 sep_correction(const u8 *a, const u8 *b,
+                          const std::vector<i64> &sa,
+                          const std::vector<i64> &sb) {
+    i64 extra = 0;
+    size_t p = 0, q = 0;
+    while (p < sa.size() || q < sb.size()) {
+        i64 c;
+        if (p < sa.size() && (q >= sb.size() || sa[p] <= sb[q]))
+            c = sa[p];
+        else
+            c = sb[q];
+        if (p < sa.size() && sa[p] == c) p++;
+        if (q < sb.size() && sb[q] == c) q++;
+        const u8 x = a[c], y = b[c];
+        const bool ok = x != PILE_INVALID && y != PILE_INVALID;
+        extra += (x == y && ok) || y == CROSS.a[x] || y == CROSS.b[x];
+    }
+    return extra;
+}
+
+static void pair_counts_planes(const u8 *states, i64 n, i64 stride,
+                               i64 col_lo, i64 col_hi, i64 *subs,
+                               i64 *homs) {
+    const i64 len = col_hi - col_lo;
+    const i64 nblk = (len + PLANE_BLOCK - 1) / PLANE_BLOCK;
+    const i64 row_bytes = nblk * PLANE_BLOCK_BYTES;
+    std::vector<u8> planes_buf((size_t)(n * row_bytes) + 64, 0);
+    u8 *pl = planes_buf.data();
+    pl += (64 - ((uintptr_t)pl & 63)) & 63;
+
+    std::vector<std::vector<i64>> seps((size_t)n);
+#pragma omp parallel for schedule(static)
+    for (i64 g = 0; g < n; g++)
+        build_planes_row(states + g * stride + col_lo, len,
+                         pl + g * row_bytes, &seps[(size_t)g]);
+    bool any_seps = false;
+    for (const auto &v : seps)
+        if (!v.empty()) any_seps = true;
+
+    // same two-level tiling as the byte path (see phy_pair_counts)
+    const i64 TI = 8;
+    const i64 STRIP_BLKS = 64;  // 32768 cols; 16 rows x 24 KB = 384 KB
+    const i64 nt = (n + TI - 1) / TI;
+    std::vector<std::pair<i64, i64>> tiles;
+    tiles.reserve((size_t)(nt * (nt + 1) / 2));
+    for (i64 ti = 0; ti < nt; ti++)
+        for (i64 tj = ti; tj < nt; tj++) tiles.emplace_back(ti, tj);
+
+#pragma omp parallel for schedule(dynamic)
+    for (i64 tp = 0; tp < (i64)tiles.size(); tp++) {
+        const i64 i_lo = tiles[(size_t)tp].first * TI;
+        const i64 j_lo = tiles[(size_t)tp].second * TI;
+        const i64 i_hi = std::min(i_lo + TI, n);
+        const i64 j_hi = std::min(j_lo + TI, n);
+        i64 m_acc[TI * TI] = {0}, v_acc[TI * TI] = {0};
+        for (i64 sb = 0; sb < nblk; sb += STRIP_BLKS) {
+            const i64 bl = std::min(STRIP_BLKS, nblk - sb);
+            for (i64 i = i_lo; i < i_hi; i++) {
+                const u8 *pa = pl + i * row_bytes + sb * PLANE_BLOCK_BYTES;
+                for (i64 j = std::max(j_lo, i + 1); j < j_hi; j++) {
+                    const u8 *pb =
+                        pl + j * row_bytes + sb * PLANE_BLOCK_BYTES;
+                    count_pair_planes(
+                        pa, pb, bl,
+                        &m_acc[(i - i_lo) * TI + (j - j_lo)],
+                        &v_acc[(i - i_lo) * TI + (j - j_lo)]);
+                }
+            }
+        }
+        for (i64 i = i_lo; i < i_hi; i++)
+            for (i64 j = std::max(j_lo, i + 1); j < j_hi; j++) {
+                i64 m = m_acc[(i - i_lo) * TI + (j - j_lo)];
+                const i64 v = v_acc[(i - i_lo) * TI + (j - j_lo)];
+                if (any_seps &&
+                    (!seps[(size_t)i].empty() || !seps[(size_t)j].empty()))
+                    m += sep_correction(states + i * stride + col_lo,
+                                        states + j * stride + col_lo,
+                                        seps[(size_t)i], seps[(size_t)j]);
+                subs[i * n + j] += v - m;
+                subs[j * n + i] += v - m;
+                homs[i * n + j] += v;
+                homs[j * n + i] += v;
+            }
+    }
+}
+
+// plane path wins once the O(n L) plane build amortizes over O(n^2)
+// pair work (crossover ~n=19 measured; margin below).  Env override
+// for tests and benches: PHYLONIUM_TPU_HOST_KERNEL={byte,planes}.
+static bool use_plane_kernel(i64 n) {
+    const char *e = std::getenv("PHYLONIUM_TPU_HOST_KERNEL");
+    if (e && std::strcmp(e, "byte") == 0) return false;
+    if (e && std::strcmp(e, "planes") == 0) return true;
+    return n >= 24;
+}
+
+}  // namespace
+#endif  // __AVX512BW__ && __AVX512VPOPCNTDQ__
+
 // Split-layout nibble packing of the pileup (the host side of the packed
 // device path, see ops/pallas_match.pack_states): byte [g, j] =
 // state[g, j] | state[g, j + ceil(L/2)] << 4, INVALID-padded.  One pass,
@@ -1632,6 +1846,13 @@ void phy_pair_counts(const u8 *states, i64 n, i64 stride, i64 col_lo,
                      i64 col_hi, i64 *subs, i64 *homs) {
     i64 len = col_hi - col_lo;
     if (len <= 0 || n <= 0) return;
+
+#if defined(__AVX512BW__) && defined(__AVX512VPOPCNTDQ__)
+    if (use_plane_kernel(n)) {
+        pair_counts_planes(states, n, stride, col_lo, col_hi, subs, homs);
+        return;
+    }
+#endif
 
     const i64 TI = 8;          // row-tile side
     const i64 STRIP = 32768;   // 2*TI rows x STRIP cols = 512 KB (~L2)

@@ -36,6 +36,34 @@ def test_native_host_matches_oracle(states):
     assert (subs == s2).all() and (homs == h2).all()
 
 
+def test_native_plane_kernel_matches_byte_kernel(rng, monkeypatch):
+    """The AVX-512 bitplane kernel (n >= 24 auto path) is bit-identical
+    to the byte kernel for all 11 states, incl. separator-dense rows and
+    column subranges.  On hosts without AVX-512VPOPCNTDQ both env values
+    run the byte path, so the assertion still holds."""
+    native = pytest.importorskip("phylonium_tpu.native")
+    n, length = 26, 9173
+    st = rng.integers(0, 4, size=(n, length), dtype=np.uint8)
+    st[rng.random((n, length)) < 0.3] += 5
+    sep = rng.random((n, length)) < 0.02
+    st[sep] = rng.choice([4, 9], size=int(sep.sum())).astype(np.uint8)
+    st[rng.random((n, length)) < 0.1] = 10
+    for lo, hi in [(0, length), (513, 7000), (100, 101)]:
+        out = {}
+        for kernel in ("byte", "planes"):
+            monkeypatch.setenv("PHYLONIUM_TPU_HOST_KERNEL", kernel)
+            subs = np.zeros((n, n), np.int64)
+            homs = np.zeros((n, n), np.int64)
+            native.pair_counts_range(st, lo, hi, subs, homs)
+            out[kernel] = (subs, homs)
+        assert (out["byte"][0] == out["planes"][0]).all()
+        assert (out["byte"][1] == out["planes"][1]).all()
+    monkeypatch.setenv("PHYLONIUM_TPU_HOST_KERNEL", "planes")
+    s2, h2 = pair_counts_numpy(st)
+    subs, homs = pair_counts_host(st)
+    assert (subs == s2).all() and (homs == h2).all()
+
+
 def test_host_poll_abort(states):
     assert pair_counts_host(states, poll=lambda: True) is None
     assert pair_counts_bitplanes(states, poll=lambda: True) is None
