@@ -43,12 +43,29 @@ def cpu_pinned() -> bool:
 
 
 def backends_initialized() -> bool:
-    """True once the jax backend handshake has completed in-process."""
+    """True once the jax backend handshake has completed in-process.
+
+    Genuinely non-blocking: ``xla_bridge.backends_are_initialized()``
+    takes jax's global ``_backend_lock`` — the same lock a backend init
+    holds for its whole handshake.  Against a wedged tunnel that init
+    can hang for MINUTES (observed live: the prewarm thread sat in
+    ``make_c_api_client`` holding the lock while the pipeline's
+    ``_should_stream`` blocked here behind it).  A failed try-acquire
+    means an init is still in flight, i.e. the handshake has NOT
+    completed — exactly this function's False."""
     if "jax" not in sys.modules:
         return False
     try:
         from jax._src import xla_bridge
 
+        lock = getattr(xla_bridge, "_backend_lock", None)
+        if lock is not None and hasattr(lock, "acquire"):
+            if not lock.acquire(blocking=False):
+                return False
+            try:
+                return bool(getattr(xla_bridge, "_backends", None))
+            finally:
+                lock.release()
         return bool(xla_bridge.backends_are_initialized())
     except Exception:
         return False

@@ -102,6 +102,29 @@ def test_ensure_device_plugin_noop_without_deferral(monkeypatch):
     assert os.environ.get("PALLAS_AXON_POOL_IPS") == before
 
 
+def test_backends_initialized_nonblocking_under_held_init_lock():
+    """A wedged tunnel handshake holds jax's global _backend_lock for
+    minutes (make_c_api_client never returns); backends_initialized()
+    must not queue behind it — observed live: _should_stream blocked a
+    1000-genome run >600 s behind the prewarm thread's hung init.  An
+    init in flight means the handshake has NOT completed, so a held
+    lock is immediately False."""
+    import time
+
+    jax = pytest.importorskip("jax")  # noqa: F841  (forces the import)
+    from jax._src import xla_bridge
+
+    from phylonium_tpu.utils.platform import backends_initialized
+
+    assert xla_bridge._backend_lock.acquire(blocking=False)
+    try:
+        t0 = time.time()
+        assert backends_initialized() is False
+        assert time.time() - t0 < 1.0
+    finally:
+        xla_bridge._backend_lock.release()
+
+
 def test_no_backend_error_classifier():
     from phylonium_tpu.core.pipeline import _is_no_backend_error
 
