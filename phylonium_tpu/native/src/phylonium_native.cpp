@@ -287,27 +287,49 @@ struct Index {
         return SA32.empty() ? SA[idx] : (i64)SA32[idx];
     }
 
-    // k-mer bucket table: for each ACGT-only k-mer code, the SA range of
-    // suffixes starting with it (int32 ranges, -1 = absent k-mer).
-    static constexpr int KMER = 10;
-    std::vector<int32_t> bucket_lo;  // [2*code] = lo, [2*code+1] = hi
+    // Two-level k-mer bucket tables: for each ACGT-only k-mer code,
+    // the SA range of suffixes starting with it (int32 [lo, hi) pairs,
+    // lo = -1 for an absent k-mer).  The primary width scales with the
+    // text so present buckets average ~2-3 suffixes (the probe
+    // pipeline's per-probe scan is compute-bound on the bucket's lcp
+    // wave — at 10 Mbp texts the fixed k=10 table averaged ~10
+    // members); an EMPTY primary bucket proves the match is shorter
+    // than `kmer`, and the k=10 secondary (present only when
+    // kmer > 10) catches those probes instead of the full-range binary
+    // search.  Parity at every level: a non-empty width-w bucket
+    // contains ALL suffixes sharing q's w-byte prefix, and the max-lcp
+    // attainers share >= max >= w of them, so (len, pos, unique)
+    // computed inside the bucket is exact.
+    int kmer = 10;   // primary width
+    int kmer0 = 0;   // secondary width (0 = no secondary table)
+    std::vector<int32_t> bucket_lo;   // primary: [2c] = lo, [2c+1] = hi
+    std::vector<int32_t> bucket0_lo;  // secondary, same layout
     bool has_buckets = false;
 
-    i64 code_of(const u8 *p, i64 avail) const {
-        if (avail < KMER) return -1;
-        i64 code = 0;
-        for (int t = 0; t < KMER; t++) {
+    // leading ACGT-only bases of p packed 2-bit big-endian into *code;
+    // returns their count, capped at `kmer`
+    int lead_code(const u8 *p, i64 avail, i64 *code) const {
+        const int cap = (int)std::min<i64>(kmer, avail);
+        i64 v = 0;
+        int t = 0;
+        for (; t < cap; t++) {
             i64 c;
             switch (p[t]) {
                 case 'A': c = 0; break;
                 case 'C': c = 1; break;
                 case 'G': c = 2; break;
                 case 'T': c = 3; break;
-                default: return -1;
+                default: { *code = v; return t; }
             }
-            code = (code << 2) | c;
+            v = (v << 2) | c;
         }
-        return code;
+        *code = v;
+        return t;
+    }
+
+    i64 code_of(const u8 *p, i64 avail) const {
+        i64 code;
+        return lead_code(p, avail, &code) == kmer ? code : -1;
     }
 
     // lcp of S[sp:] with q[qs:], capped
@@ -375,19 +397,70 @@ struct Index {
         if (n >= (i64)INT32_MAX) return;  // probe path falls back to i64
         SA32.assign(SA.begin(), SA.end());
 
-        const i64 nb = (i64)1 << (2 * KMER);
+        // smallest width with expected occupancy <= ~2.5, clamped to
+        // [8, 13] (k=13 = 512 MB table, reached beyond ~168 Mbp texts)
+        int k = 8;
+        while (k < 13 && ((i64)1 << (2 * k)) * 5 / 2 < n) k++;
+        if (const char *e = std::getenv("PHYLONIUM_TPU_KMER")) {
+            int v = std::atoi(e);
+            if (v >= 2 && v <= 15) k = v;
+        }
+        kmer = k;
+
+        kmer0 = (kmer > 10) ? 10 : 0;
+
+        const i64 nb = (i64)1 << (2 * kmer);
         // walk the SA once: valid ACGT k-mer codes appear in non-decreasing
         // order along the SA (suffixes sharing a k-prefix are contiguous);
-        // record each code's [first, last] SA range.
+        // record each code's [first, last] SA range at both widths.
         bucket_lo.assign(2 * nb, -1);
+        if (kmer0) bucket0_lo.assign(2 * ((i64)1 << (2 * kmer0)), -1);
         for (i64 i = 0; i < n; i++) {
-            i64 c = code_of(S.data() + SA[i], n - SA[i]);
-            if (c >= 0) {
-                if (bucket_lo[2 * c] < 0) bucket_lo[2 * c] = (int32_t)i;
-                bucket_lo[2 * c + 1] = (int32_t)(i + 1);
+            i64 code;
+            int v = lead_code(S.data() + SA[i], n - SA[i], &code);
+            if (v == kmer) {
+                if (bucket_lo[2 * code] < 0)
+                    bucket_lo[2 * code] = (int32_t)i;
+                bucket_lo[2 * code + 1] = (int32_t)(i + 1);
+            }
+            if (kmer0 && v >= kmer0) {
+                i64 c0 = code >> (2 * (v - kmer0));
+                if (bucket0_lo[2 * c0] < 0)
+                    bucket0_lo[2 * c0] = (int32_t)i;
+                bucket0_lo[2 * c0 + 1] = (int32_t)(i + 1);
             }
         }
         has_buckets = true;
+    }
+
+    // Narrowed SA range for q's prefix via the bucket tables; returns
+    // the bucket width used as the search's known-equal skip (0 = full
+    // range).  An empty primary proves the longest match < kmer, so
+    // the secondary's [lo, hi) still contains every max-lcp attainer.
+    int bucket_range(const u8 *q, i64 avail, i64 *lo, i64 *hi) const {
+        *lo = 0;
+        *hi = n;
+        if (!has_buckets) return 0;
+        i64 code;
+        int v = lead_code(q, avail, &code);
+        if (v == kmer) {
+            i64 blo = bucket_lo[2 * code];
+            if (blo >= 0) {
+                *lo = blo;
+                *hi = bucket_lo[2 * code + 1];
+                return kmer;
+            }
+        }
+        if (kmer0 && v >= kmer0) {
+            i64 c0 = code >> (2 * (v - kmer0));
+            i64 blo = bucket0_lo[2 * c0];
+            if (blo >= 0) {
+                *lo = blo;
+                *hi = bucket0_lo[2 * c0 + 1];
+                return kmer0;
+            }
+        }
+        return 0;
     }
 
     // Lean probe for the chaining loop: the chain only needs the match
@@ -409,18 +482,8 @@ struct Index {
     Probe probe_unique(const u8 *q, i64 qlen, i64 min_len = 0) const {
         if (qlen <= 0 || n == 0) return {0, 0, n == 1};
 
-        i64 lo = 0, hi = n, skip = 0;
-        if (has_buckets) {
-            i64 c = code_of(q, qlen);
-            if (c >= 0) {
-                i64 blo = bucket_lo[2 * c];
-                if (blo >= 0) {
-                    lo = blo;
-                    hi = bucket_lo[2 * c + 1];
-                    skip = KMER;
-                }
-            }
-        }
+        i64 lo, hi;
+        i64 skip = bucket_range(q, qlen, &lo, &hi);
 
         i64 at = lower_bound(q, qlen, lo, hi, skip);
         i64 left = (at > 0) ? lcp(suf(at - 1), q, qlen, qlen) : 0;
@@ -449,20 +512,8 @@ struct Index {
             return;
         }
 
-        i64 lo = 0, hi = n;
-        if (has_buckets) {
-            i64 c = code_of(q, qlen);
-            if (c >= 0) {
-                i64 blo = bucket_lo[2 * c];
-                i64 bhi = bucket_lo[2 * c + 1];
-                if (blo >= 0) {
-                    lo = blo;
-                    hi = bhi;
-                }
-                // if bucket empty: match is shorter than KMER; keep the
-                // full range (correct, just slower)
-            }
-        }
+        i64 lo, hi;
+        bucket_range(q, qlen, &lo, &hi);
 
         i64 pos = lower_bound(q, qlen, lo, hi);
         i64 l = 0;
@@ -476,17 +527,11 @@ struct Index {
             return;
         }
 
-        // range of suffixes with prefix q[0:l].  The range is contained in
-        // [lo, hi) only if l >= KMER-match depth; when the bucket was
-        // empty or the match is shorter than KMER, search the full array.
-        i64 slo = 0, shi = n;
-        if (has_buckets) {
-            i64 c = code_of(q, qlen);
-            if (c >= 0 && l >= KMER && bucket_lo[2 * c] >= 0) {
-                slo = bucket_lo[2 * c];
-                shi = bucket_lo[2 * c + 1];
-            }
-        }
+        // range of suffixes with prefix q[0:l]: a chosen bucket of
+        // width w is non-empty, hence l >= w and every l-sharer lies
+        // inside it (full array when no bucket applies)
+        i64 slo, shi;
+        bucket_range(q, qlen, &slo, &shi);
         i64 i = lower_bound(q, l, slo, shi);
         i64 j = upper_bound(q, l, slo, shi) - 1;
         *out_l = l;
@@ -704,6 +749,7 @@ struct ChainRun {
     i64 mid_pos = 0, nei_l = 0, nei_r = 0, flank = 0, flank_pos = 0;
     i64 len = 0, wpos = 0, diag_s = 0;
     i64 probe_len = 0, hit_s = 0;
+    i64 lead = 0;  // valid leading bases behind the stashed code
     bool unique = false;
 
     // bucket-scan probe: small buckets answer (len, pos, unique) by
@@ -766,10 +812,16 @@ static inline bool start_probe(const Index &idx, i64 threshold,
     c.probe_len = 0;
     c.hit_s = -1;
     c.diag_s = c.prev.s + (c.cursor - c.prev.q);
-    i64 code = idx.code_of(c.q + c.cursor, c.qlen - c.cursor);
+    i64 code;
+    int v = idx.lead_code(c.q + c.cursor, c.qlen - c.cursor, &code);
     c.mid = code;  // stash for the bucket round
-    if (idx.has_buckets && code >= 0)
-        pf(idx.bucket_lo.data() + 2 * code);
+    c.lead = v;
+    if (idx.has_buckets) {
+        if (v == idx.kmer) pf(idx.bucket_lo.data() + 2 * code);
+        if (idx.kmer0 && v >= idx.kmer0)  // speculative: primary may miss
+            pf(idx.bucket0_lo.data() +
+               2 * (code >> (2 * (v - idx.kmer0))));
+    }
     bool diag_ok = c.diag_s < idx.n &&
                    c.cursor - (c.prev.q + c.prev.len) <= threshold;
     if (diag_ok) {
@@ -788,26 +840,40 @@ static inline bool start_probe(const Index &idx, i64 threshold,
 // and issues the next round's SA prefetches.
 static inline void enter_bucket(const Index &idx, ChainRun &c) {
     c.st.searches++;
-    i64 code = c.mid;
+    const i64 code = c.mid;
+    const i64 v = c.lead;
     c.lo = 0;
     c.hi = idx.n;
     c.skip = 0;
-    if (idx.has_buckets && code >= 0) {
-        i64 blo = idx.bucket_lo[2 * code];
-        if (blo >= 0) {
-            c.lo = blo;
-            c.hi = idx.bucket_lo[2 * code + 1];
-            c.skip = Index::KMER;
-            if (c.hi - c.lo <= ChainRun::BSCAN_CAP) {
-                // whole bucket fits the scan probe: kick off the
-                // SA-range loads (contiguous, 1-2 lines)
-                for (i64 i = c.lo; i < c.hi; i += 16)
-                    pf(idx.SA32.empty()
-                           ? (const void *)(idx.SA.data() + i)
-                           : (const void *)(idx.SA32.data() + i));
-                c.ph = ChainRun::BSCAN_SA;
-                return;
+    if (idx.has_buckets) {
+        if (v == idx.kmer) {
+            i64 blo = idx.bucket_lo[2 * code];
+            if (blo >= 0) {
+                c.lo = blo;
+                c.hi = idx.bucket_lo[2 * code + 1];
+                c.skip = idx.kmer;
             }
+        }
+        if (c.skip == 0 && idx.kmer0 && v >= idx.kmer0) {
+            // empty/absent primary: the match is shorter than kmer,
+            // so the k=10 secondary still holds every attainer
+            i64 c0 = code >> (2 * (v - idx.kmer0));
+            i64 blo = idx.bucket0_lo[2 * c0];
+            if (blo >= 0) {
+                c.lo = blo;
+                c.hi = idx.bucket0_lo[2 * c0 + 1];
+                c.skip = idx.kmer0;
+            }
+        }
+        if (c.skip && c.hi - c.lo <= ChainRun::BSCAN_CAP) {
+            // whole bucket fits the scan probe: kick off the
+            // SA-range loads (contiguous, 1-2 lines)
+            for (i64 i = c.lo; i < c.hi; i += 16)
+                pf(idx.SA32.empty()
+                       ? (const void *)(idx.SA.data() + i)
+                       : (const void *)(idx.SA32.data() + i));
+            c.ph = ChainRun::BSCAN_SA;
+            return;
         }
     }
     c.mid = c.lo + (c.hi - c.lo) / 2;
