@@ -106,6 +106,52 @@ def test_thread_controls():
     set_threads(0)  # ignored
 
 
+def test_mapper_parity_across_kmer_widths(rng, monkeypatch):
+    """Bucket width must never change mapping output: a non-empty
+    width-w bucket holds every max-lcp attainer, and an empty primary
+    falls back to the k=10 secondary (phylonium_native.cpp
+    bucket_range).  PHYLONIUM_TPU_KMER is read per index build, so
+    in-process forcing per index works.  Covers non-ACGT query/subject
+    bytes (matches may span equal non-ACGT bytes only via the
+    full-range path)."""
+    import numpy as np
+
+    from phylonium_tpu.data.sequence import Sequence
+    from phylonium_tpu.index.esa import ESAIndex
+
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    base = rng.choice(acgt, 60_000).tobytes()
+    sub = base[:20_000] + b"N" + base[20_000:40_000] + b"!" + base[40_000:]
+    queries = []
+    for k in range(5):
+        arr = np.frombuffer(base, np.uint8).copy()
+        idx = rng.random(arr.size) < [0.01, 0.04, 0.09, 0.2, 0.02][k]
+        arr[idx] = acgt[(arr[idx] + rng.integers(1, 4, int(idx.sum()))) % 4]
+        g = arr.tobytes()
+        if k == 4:
+            g = g[:30_000] + b"NN!" + g[30_000:]
+        queries.append(np.frombuffer(g, np.uint8))
+
+    def run(kmer):
+        monkeypatch.setenv("PHYLONIUM_TPU_KMER", kmer)
+        ref = ESAIndex(Sequence("ref", sub), backend="native")
+        out = ref._native.map_queries(queries, 21)
+        return [
+            [
+                (h.direction, h.index_reference,
+                 h.index_reference_projected, h.index_query, h.length)
+                for h in hs
+            ]
+            for hs in out
+        ]
+
+    results = {k: run(k) for k in ("8", "10", "11", "12", "13")}
+    baseline = results["10"]
+    assert any(len(hs) > 0 for hs in baseline)
+    for k, r in results.items():
+        assert r == baseline, f"kmer={k} diverged"
+
+
 def test_interleaved_mapper_matches_scalar(rng, monkeypatch):
     """The interleaved (memory-level-parallel) batch mapper emits
     exactly the scalar per-query loop's homologies for a diverse panel
