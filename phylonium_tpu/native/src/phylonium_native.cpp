@@ -409,22 +409,57 @@ struct Index {
 
         kmer0 = (kmer > 10) ? 10 : 0;
 
+        // Per-position code precompute in TEXT order (one backward
+        // rolling pass, sequential), so the SA walk below reads one
+        // prefetchable u32 per entry instead of ~k random text bytes:
+        // packed[p] = (min(valid_run, 15) << 28) | code(p .. p+kmer-1)
+        // (code bits covering invalid bytes are garbage, but the run
+        // gate means they are only read when the covered prefix is
+        // fully valid).  2*kmer <= 26 bits, run uses 4.
+        std::vector<uint32_t> packed((size_t)n);
+        {
+            uint32_t code = 0;
+            uint32_t run = 0;
+            for (i64 p = n - 1; p >= 0; p--) {
+                uint32_t c;
+                switch (S[(size_t)p]) {
+                    case 'A': c = 0; break;
+                    case 'C': c = 1; break;
+                    case 'G': c = 2; break;
+                    case 'T': c = 3; break;
+                    default: c = 4; break;
+                }
+                if (c > 3) {
+                    run = 0;
+                    code >>= 2;
+                } else {
+                    if (run < 15) run++;
+                    code = (c << (2 * (kmer - 1))) | (code >> 2);
+                }
+                packed[(size_t)p] = (run << 28) | code;
+            }
+        }
+
         const i64 nb = (i64)1 << (2 * kmer);
         // walk the SA once: valid ACGT k-mer codes appear in non-decreasing
         // order along the SA (suffixes sharing a k-prefix are contiguous);
         // record each code's [first, last] SA range at both widths.
         bucket_lo.assign(2 * nb, -1);
         if (kmer0) bucket0_lo.assign(2 * ((i64)1 << (2 * kmer0)), -1);
+        const uint32_t krun = (uint32_t)kmer, krun0 = (uint32_t)kmer0;
         for (i64 i = 0; i < n; i++) {
-            i64 code;
-            int v = lead_code(S.data() + SA[i], n - SA[i], &code);
-            if (v == kmer) {
+            if (i + 16 < n)
+                __builtin_prefetch(packed.data() + SA32[(size_t)(i + 16)]);
+            const uint32_t pk = packed[(size_t)SA32[(size_t)i]];
+            const uint32_t run = pk >> 28;
+            const i64 code = (i64)(pk & ((1u << 28) - 1));
+            if (run >= krun) {
                 if (bucket_lo[2 * code] < 0)
                     bucket_lo[2 * code] = (int32_t)i;
                 bucket_lo[2 * code + 1] = (int32_t)(i + 1);
             }
-            if (kmer0 && v >= kmer0) {
-                i64 c0 = code >> (2 * (v - kmer0));
+            if (kmer0 && run >= krun0) {
+                i64 c0 = code >> (2 * (kmer - kmer0));
                 if (bucket0_lo[2 * c0] < 0)
                     bucket0_lo[2 * c0] = (int32_t)i;
                 bucket0_lo[2 * c0 + 1] = (int32_t)(i + 1);
