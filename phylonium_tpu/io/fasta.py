@@ -47,6 +47,7 @@ class FastaRecord:
 _WS = b" \t\n\r\x0b\x0c"
 
 _native_scan = None  # resolved once; False when the backend is absent
+_native_filter = None  # fused read-path hook; False when absent
 
 
 def _scan_body(chunk: bytes) -> tuple[bytes, int]:
@@ -72,12 +73,28 @@ def _scan_body(chunk: bytes) -> tuple[bytes, int]:
     )
 
 
+def _filter_body(chunk: bytes) -> tuple[bytes, int, int]:
+    """(ACGT-filtered uppercased bytes, newlines, non-ws count): the
+    fused read-path hook — one native traversal replaces the strip pass
+    + the later per-record filter_nucl pass (and their copies).  The
+    non-ws count keeps pfasta's empty-SEQUENCE check exact: an all-N
+    body filters to zero bytes but is NOT an empty sequence."""
+    from phylonium_tpu.native import fasta_filter_native
+
+    return fasta_filter_native(chunk)
+
+
 class _Parser:
-    """Incremental FASTA state machine fed arbitrary byte chunks."""
+    """Incremental FASTA state machine fed arbitrary byte chunks.
+
+    ``body_hook(span) -> (piece, newlines, nonws)`` transforms body
+    spans; the default strips whitespace (records carry raw sequence
+    bytes).  read_fasta passes the fused filter hook instead.
+    """
 
     _START, _HEADER, _BODY = range(3)
 
-    def __init__(self, origin: str):
+    def __init__(self, origin: str, body_hook=None):
         self.origin = origin
         self.state = self._START
         self.line = 1  # 1-based line of the next unread byte
@@ -85,12 +102,20 @@ class _Parser:
         self.at_line_start = True
         self.header = bytearray()
         self.pieces: list[bytes] = []
+        self.body_seen = 0  # non-whitespace bytes of the open record
+        self.body_hook = body_hook or self._default_hook
+
+    @staticmethod
+    def _default_hook(span: bytes) -> tuple[bytes, int, int]:
+        stripped, newlines = _scan_body(span)
+        return stripped, newlines, len(stripped)
 
     def _open_record(self) -> None:
         self.state = self._HEADER
         self.record_line = self.line
         self.header = bytearray()
         self.pieces = []
+        self.body_seen = 0
 
     def _close_record(self) -> FastaRecord:
         parts = bytes(self.header).split(None, 1)
@@ -98,8 +123,10 @@ class _Parser:
             raise FastaError(
                 f"{self.origin}: Empty name on line {self.record_line}."
             )
-        seq = b"".join(self.pieces)
-        if not seq:
+        seq = self.pieces[0] if len(self.pieces) == 1 else b"".join(
+            self.pieces
+        )
+        if not self.body_seen:
             raise FastaError(
                 f"{self.origin}: Empty sequence on line {self.record_line}."
             )
@@ -146,9 +173,10 @@ class _Parser:
                 stop = chunk.find(b"\n>", pos)
                 stop = end if stop < 0 else stop + 1
                 body = chunk[pos:stop]
-                stripped, newlines = _scan_body(body)
-                if stripped:
-                    self.pieces.append(stripped)
+                piece, newlines, nonws = self.body_hook(body)
+                if piece:
+                    self.pieces.append(piece)
+                self.body_seen += nonws
                 self.line += newlines
                 self.at_line_start = body.endswith(b"\n") or (
                     self.at_line_start and not body
@@ -190,12 +218,36 @@ def parse_fasta_bytes(
 
 
 def read_fasta(file_name: str, prefix: str = "") -> list[Sequence]:
-    """Read one FASTA file into filtered sequences (src/io.cxx:66-97)."""
+    """Read one FASTA file into filtered sequences (src/io.cxx:66-97).
+
+    Filtering happens inside the parse via the fused native body pass
+    (strip + filter + counts in one traversal); without the native
+    backend, records parse raw and filter per record as before —
+    byte-identical output either way (tests/test_fasta_stream.py)."""
+    global _native_filter
+    if _native_filter is None:
+        try:
+            from phylonium_tpu.native import fasta_filter_native  # noqa: F401
+
+            _native_filter = _filter_body
+        except Exception:
+            _native_filter = False
+    hook = _native_filter or None
     with open(file_name, "rb") as f:
-        return [
-            Sequence(prefix + rec.name, filter_nucl(rec.sequence))
-            for rec in stream_fasta(f, origin=file_name)
-        ]
+        parser = _Parser(file_name, body_hook=hook)
+        records = []
+        while True:
+            chunk = f.read(CHUNK_SIZE)
+            if not chunk:
+                break
+            records.extend(parser.feed(chunk))
+        records.extend(parser.finish())
+    if hook is not None:
+        return [Sequence(prefix + rec.name, rec.sequence) for rec in records]
+    return [
+        Sequence(prefix + rec.name, filter_nucl(rec.sequence))
+        for rec in records
+    ]
 
 
 def extract_genome(file_name: str) -> str:

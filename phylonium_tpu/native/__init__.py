@@ -86,6 +86,14 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.phy_fasta_filter.restype = ctypes.c_int64
+        lib.phy_fasta_filter.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.phy_seqcmp.restype = ctypes.c_int64
         lib.phy_seqcmp.argtypes = [
             ctypes.POINTER(ctypes.c_uint8),
@@ -184,6 +192,24 @@ def filter_nucl_native(raw: bytes) -> bytes:
         lib.phy_filter_nucl(_u8ptr(src), src.size, _u8ptr(dst))
     )
     return dst[:kept].tobytes()
+
+
+def fasta_filter_native(chunk: bytes) -> tuple[bytes, int, int]:
+    """Fused FASTA body pass: (ACGT-filtered uppercased bytes, newline
+    count, non-whitespace count) — the read-path contract in
+    io/fasta.read_fasta; one traversal replaces strip + join + filter."""
+    lib = get_lib()
+    src = np.frombuffer(chunk, dtype=np.uint8)
+    dst = np.empty(max(src.size, 1), dtype=np.uint8)
+    nl = ctypes.c_int64(0)
+    nonws = ctypes.c_int64(0)
+    kept = int(
+        lib.phy_fasta_filter(
+            _u8ptr(src), src.size, _u8ptr(dst),
+            ctypes.byref(nl), ctypes.byref(nonws),
+        )
+    )
+    return dst[:kept].tobytes(), int(nl.value), int(nonws.value)
 
 
 def fasta_scan_native(chunk: bytes) -> tuple[bytes, int]:

@@ -2028,6 +2028,69 @@ i64 phy_filter_nucl(const u8 *__restrict__ src, i64 n,
     return w;
 }
 
+// Fused FASTA body pass: canonical-nucleotide filter (ACGTacgt kept,
+// uppercased) + newline count + non-whitespace count, in ONE traversal.
+// The read phase used to strip whitespace (pass + copy), join, then
+// filter (pass + copy); this collapses them.  *newlines feeds 1-based
+// error line numbers; *nonws feeds pfasta's empty-SEQUENCE check (an
+// all-N body is non-empty input but filters to zero bytes — the parser
+// must not call it empty).  Returns the filtered length.
+i64 phy_fasta_filter(const u8 *__restrict__ src, i64 n,
+                     u8 *__restrict__ dst, i64 *newlines, i64 *nonws) {
+    i64 w = 0, nl = 0, body = 0;
+#if defined(__AVX512BW__) && defined(__AVX512VBMI2__)
+    const __m512i vA = _mm512_set1_epi8('A'), vC = _mm512_set1_epi8('C');
+    const __m512i vG = _mm512_set1_epi8('G'), vT = _mm512_set1_epi8('T');
+    const __m512i vcase = _mm512_set1_epi8((char)0xDF);
+    const __m512i vnl = _mm512_set1_epi8('\n');
+    const __m512i vsp = _mm512_set1_epi8(' ');
+    const __m512i vtab = _mm512_set1_epi8('\t');   // 0x09
+    const __m512i vcr = _mm512_set1_epi8('\r');    // 0x0D
+    i64 i = 0;
+    for (; i < n; i += 64) {
+        const i64 rem = n - i;
+        const __mmask64 live =
+            rem >= 64 ? ~0ULL : ((1ULL << rem) - 1);
+        const __m512i x = _mm512_maskz_loadu_epi8(live, src + i);
+        const __m512i up = _mm512_and_si512(x, vcase);
+        __mmask64 keep =
+            (_mm512_cmpeq_epi8_mask(up, vA) |
+             _mm512_cmpeq_epi8_mask(up, vC) |
+             _mm512_cmpeq_epi8_mask(up, vG) |
+             _mm512_cmpeq_epi8_mask(up, vT)) & live;
+        _mm512_mask_compressstoreu_epi8(dst + w, keep, up);
+        w += __builtin_popcountll(keep);
+        nl += __builtin_popcountll(_mm512_cmpeq_epi8_mask(x, vnl) & live);
+        // ws = ' ' or 0x09..0x0D ('\t','\n','\v','\f','\r')
+        const __mmask64 ws =
+            (_mm512_cmpeq_epi8_mask(x, vsp) |
+             (_mm512_cmp_epu8_mask(x, vtab, _MM_CMPINT_NLT) &
+              _mm512_cmp_epu8_mask(x, vcr, _MM_CMPINT_LE))) & live;
+        body += (rem >= 64 ? 64 : rem) - __builtin_popcountll(ws);
+    }
+#else
+    u8 keep[256];
+    std::memset(keep, 0, sizeof(keep));
+    for (u8 c : {'A', 'C', 'G', 'T'}) {
+        keep[c] = c;
+        keep[c + 32] = c;
+    }
+    bool ws[256] = {};
+    ws[' '] = ws['\t'] = ws['\n'] = ws['\r'] = ws['\v'] = ws['\f'] = true;
+    for (i64 i = 0; i < n; i++) {
+        u8 c = src[i];
+        u8 mapped = keep[c];
+        dst[w] = mapped;
+        w += mapped != 0;
+        nl += c == '\n';
+        body += !ws[c];
+    }
+#endif
+    *newlines = nl;
+    *nonws = body;
+    return w;
+}
+
 // FASTA body scan: strip whitespace and count newlines in ONE pass
 // (the parser needs both — stripped sequence bytes for the record, the
 // newline count for 1-based error line numbers; doing them as separate

@@ -85,3 +85,50 @@ def test_native_body_scan_matches_python():
         got_bytes, got_nl = _scan_body(chunk)
         assert got_bytes == chunk.translate(None, delete=_WS)
         assert got_nl == chunk.count(b"\n")
+
+
+def test_fused_read_matches_legacy_filter(tmp_path, monkeypatch):
+    """read_fasta's fused native body pass (filter + counts in one
+    traversal) must produce exactly the legacy parse-then-filter_nucl
+    output, including the empty-sequence error semantics: an all-N
+    record filters to zero bytes but is NOT an empty sequence."""
+    import numpy as np
+    import pytest as _pytest
+
+    import phylonium_tpu.io.fasta as fa
+    from phylonium_tpu.io.fasta import FastaError, read_fasta
+
+    rng = np.random.default_rng(23)
+    alphabet = np.frombuffer(b"ACGTacgtNnRyKm", np.uint8)
+    recs = []
+    for k in range(6):
+        body = alphabet[rng.integers(0, len(alphabet), 9000 + k)].tobytes()
+        lines = b"\r\n".join(
+            body[i : i + 61] for i in range(0, len(body), 61)
+        )
+        recs.append(b">rec%d some comment\n%s\n" % (k, lines))
+    recs.append(b">allN\n" + b"N" * 5000 + b"\n")  # filters to empty
+    p = tmp_path / "mix.fasta"
+    p.write_bytes(b"".join(recs))
+
+    def run():
+        fa._native_filter = None
+        out = read_fasta(str(p))
+        used_fused = bool(fa._native_filter)
+        return out, used_fused
+
+    fused, used = run()
+    monkeypatch.setattr(fa, "_native_filter", False)
+    legacy = read_fasta(str(p))
+    assert [s.name for s in fused] == [s.name for s in legacy]
+    assert [s.nucl for s in fused] == [s.nucl for s in legacy]
+    assert fused[-1].nucl == b""  # all-N record kept, empty after filter
+    if not used:
+        _pytest.skip("native backend unavailable; legacy path only")
+
+    # truly empty sequence still errors with the pfasta message
+    q = tmp_path / "empty.fasta"
+    q.write_bytes(b">a\n\n  \n>b\nACGT\n")
+    fa._native_filter = None
+    with _pytest.raises(FastaError, match="Empty sequence on line 1"):
+        read_fasta(str(q))
