@@ -19,6 +19,10 @@
 #include <cstring>
 #include <vector>
 
+#if defined(__SSSE3__)
+#include <immintrin.h>
+#endif
+
 #ifdef _OPENMP
 #include <omp.h>
 #else
@@ -309,6 +313,41 @@ struct Index {
     // leading ACGT-only bases of p packed 2-bit big-endian into *code;
     // returns their count, capped at `kmer`
     int lead_code(const u8 *p, i64 avail, i64 *code) const {
+#if defined(__SSSE3__) && defined(__BMI2__)
+        // fast path: one 16-byte load covers any kmer <= 13.  Needs 16
+        // readable bytes, so gate on avail (query buffers carry no
+        // slack past their last byte).
+        if (avail >= 16 && kmer >= 8 && kmer <= 13) {
+            const __m128i v = _mm_loadu_si128((const __m128i *)p);
+            const __m128i okA = _mm_cmpeq_epi8(v, _mm_set1_epi8('A'));
+            const __m128i okC = _mm_cmpeq_epi8(v, _mm_set1_epi8('C'));
+            const __m128i okG = _mm_cmpeq_epi8(v, _mm_set1_epi8('G'));
+            const __m128i okT = _mm_cmpeq_epi8(v, _mm_set1_epi8('T'));
+            const __m128i ok =
+                _mm_or_si128(_mm_or_si128(okA, okC), _mm_or_si128(okG, okT));
+            const uint32_t bad = ~(uint32_t)_mm_movemask_epi8(ok) & 0xFFFFu;
+            if (!bad || __builtin_ctz(bad) >= kmer) {
+                // all kmer leading bytes are ACGT: vector-encode.
+                // Low nibbles are distinct (A=1, C=3, G=7, T=4), and
+                // '!'/'#' bytes can't reach here (the bad gate holds).
+                const __m128i lut = _mm_setr_epi8(0, 0, 0, 1, 3, 0, 0, 2,
+                                                  0, 0, 0, 0, 0, 0, 0, 0);
+                const __m128i codes = _mm_shuffle_epi8(
+                    lut, _mm_and_si128(v, _mm_set1_epi8(0x0F)));
+                const uint64_t mask2 = 0x0303030303030303ull;
+                uint64_t b0, b1;
+                std::memcpy(&b0, &codes, 8);
+                std::memcpy(&b1, (const char *)&codes + 8, 8);
+                // bswap+pext: byte k's 2 bits land big-endian (base 0
+                // most significant of the 16-bit group)
+                const uint64_t c0 = _pext_u64(__builtin_bswap64(b0), mask2);
+                const uint64_t c1 = _pext_u64(__builtin_bswap64(b1), mask2);
+                *code = (i64)((c0 << (2 * (kmer - 8))) |
+                              (c1 >> (2 * (16 - kmer))));
+                return kmer;
+            }
+        }
+#endif
         const int cap = (int)std::min<i64>(kmer, avail);
         i64 v = 0;
         int t = 0;
@@ -337,6 +376,18 @@ struct Index {
         i64 m = std::min(cap, std::min(n - sp, qlen));
         const u8 *a = S.data() + sp;
         i64 t = 0;
+#if defined(__AVX2__)
+        // 32-byte strides: most calls either mismatch inside the first
+        // vector (one compare replaces 2-4 scalar rounds) or run long
+        // (4x the scalar stride).  m bounds both buffers, no overread.
+        for (; t + 32 <= m; t += 32) {
+            const __m256i x = _mm256_loadu_si256((const __m256i *)(a + t));
+            const __m256i y = _mm256_loadu_si256((const __m256i *)(q + t));
+            const uint32_t eq =
+                (uint32_t)_mm256_movemask_epi8(_mm256_cmpeq_epi8(x, y));
+            if (eq != 0xFFFFFFFFu) return t + (i64)__builtin_ctz(~eq);
+        }
+#endif
         for (; t + 8 <= m; t += 8) {
             uint64_t x, y;
             std::memcpy(&x, a + t, 8);
@@ -760,6 +811,26 @@ struct MapStats {
 };
 static MapStats g_map_stats;
 
+// deep profile (PHYLONIUM_TPU_NATIVE_TIMING=2): rdtsc cycles per
+// state-machine phase, accumulated across all micro-steps.  The rdtsc
+// pair itself costs ~30-60 cycles/step, so absolute numbers are
+// inflated; the per-phase BREAKDOWN is what this is for.
+static constexpr int N_PHASES = 14;
+static i64 g_phase_cycles[N_PHASES];
+static i64 g_phase_steps[N_PHASES];
+static const char *const PHASE_NAMES[N_PHASES] = {
+    "NEXT",    "DIAG",    "BUCKET",   "SEARCH_SA", "SEARCH_CMP",
+    "NEI_SA",  "NEI_LCP", "FLANK_SA", "FLANK_LCP", "BSCAN_SA",
+    "BSCAN_LCP", "APPLY", "IDLE",     "?",
+};
+static bool deep_timing() {
+    static const bool v = [] {
+        const char *e = std::getenv("PHYLONIUM_TPU_NATIVE_TIMING");
+        return e && e[0] == '2';
+    }();
+    return v;
+}
+
 struct ChainRun {
     // which query
     const u8 *q = nullptr;
@@ -1122,11 +1193,26 @@ static void map_batch_ilp(const Index &idx, i64 threshold, const u8 *qdata,
     for (int k = 0; k < K; k++)
         if (refill(runs[k])) active++;
 
+    const bool deep = deep_timing();
+    i64 phase_cycles[N_PHASES] = {0};
+    i64 phase_steps[N_PHASES] = {0};
+
     while (active > 0) {
         for (int k = 0; k < K; k++) {
             ChainRun &c = runs[k];
             if (c.ph == ChainRun::IDLE) continue;
-            if (!chain_step(idx, threshold, c)) {
+            bool alive;
+            if (deep) {
+                const int ph = (int)c.ph < N_PHASES ? (int)c.ph
+                                                    : N_PHASES - 1;
+                const unsigned long long t0 = __builtin_ia32_rdtsc();
+                alive = chain_step(idx, threshold, c);
+                phase_cycles[ph] += (i64)(__builtin_ia32_rdtsc() - t0);
+                phase_steps[ph]++;
+            } else {
+                alive = chain_step(idx, threshold, c);
+            }
+            if (!alive) {
                 // query done: finish exactly like map_one
                 std::stable_sort(
                     c.segs.begin(), c.segs.end(),
@@ -1159,6 +1245,16 @@ static void map_batch_ilp(const Index &idx, i64 threshold, const u8 *qdata,
                     active--;
                 }
             }
+        }
+    }
+
+    if (deep) {
+#ifdef _OPENMP
+#pragma omp critical(map_phase_stats)
+#endif
+        for (int p = 0; p < N_PHASES; p++) {
+            g_phase_cycles[p] += phase_cycles[p];
+            g_phase_steps[p] += phase_steps[p];
         }
     }
 }
@@ -1281,6 +1377,24 @@ i64 phy_map_queries(void *h, const u8 *qdata, const i64 *offsets, i64 nq,
                      (long long)s.probes, (long long)s.diag_lcps,
                      (long long)s.diag_hits, (long long)s.searches,
                      (long long)s.bsteps, (long long)s.lcp_bytes);
+        if (deep_timing()) {
+            i64 tot_cy = 0, tot_steps = 0;
+            for (int p = 0; p < N_PHASES; p++) {
+                tot_cy += g_phase_cycles[p];
+                tot_steps += g_phase_steps[p];
+            }
+            std::fprintf(stderr, "native map phases (%lld steps, "
+                         "%.2f Gcy incl. rdtsc overhead):\n",
+                         (long long)tot_steps, tot_cy / 1e9);
+            for (int p = 0; p < N_PHASES; p++) {
+                if (!g_phase_steps[p]) continue;
+                std::fprintf(
+                    stderr, "  %-10s steps=%-11lld cy/step=%-6.1f %5.1f%%\n",
+                    PHASE_NAMES[p], (long long)g_phase_steps[p],
+                    (double)g_phase_cycles[p] / g_phase_steps[p],
+                    100.0 * g_phase_cycles[p] / tot_cy);
+            }
+        }
     }
     i64 total = 0;
     for (i64 j = 0; j < nq; j++) {
