@@ -458,7 +458,13 @@ struct Index {
         }
         kmer = k;
 
-        kmer0 = (kmer > 10) ? 10 : 0;
+        // secondary table one base narrower (capped at 10): probes whose
+        // match is shorter than the primary width — or whose primary
+        // bucket is absent — resolve against the far-denser secondary
+        // range instead of a full-SA binary search.  Without it, small
+        // texts (kmer <= 10) sent every absent-primary probe through
+        // ~21 full-range bisection steps (~40% of tier-3 map cycles).
+        kmer0 = (kmer > 4) ? std::min(kmer - 1, 10) : 0;
 
         // Per-position code precompute in TEXT order (one backward
         // rolling pass, sequential), so the SA walk below reads one
