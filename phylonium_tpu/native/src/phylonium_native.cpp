@@ -121,6 +121,24 @@ static void induce(const CharT *T, i64 n, i64 K,
     }
 }
 
+static int g_sais_depth = 0;
+static bool sais_stage_timing() {
+    static const bool v = [] {
+        const char *e = std::getenv("PHYLONIUM_TPU_NATIVE_TIMING");
+        return e && e[0] == '2';
+    }();
+    return v;
+}
+#define SAIS_STAGE(name)                                                  \
+    do {                                                                  \
+        if (g_sais_depth <= 2 && sais_stage_timing()) {                   \
+            double now = omp_get_wtime();                                 \
+            std::fprintf(stderr, "  sais[d%d n=%lld] %-10s %.3fs\n",      \
+                         g_sais_depth, (long long)n, name, now - _t);     \
+            _t = now;                                                     \
+        }                                                                 \
+    } while (0)
+
 template <typename CharT, typename IdxT>
 static void sais_rec(const CharT *T, i64 n, i64 K, std::vector<IdxT> &SA) {
     // T[n-1] must be a unique smallest sentinel (value 0).
@@ -130,12 +148,15 @@ static void sais_rec(const CharT *T, i64 n, i64 K, std::vector<IdxT> &SA) {
         SA[0] = 0;
         return;
     }
+    g_sais_depth++;
+    double _t = sais_stage_timing() ? omp_get_wtime() : 0.0;
 
     std::vector<u8> types;
     classify(T, n, types);
 
     std::vector<IdxT> cnt;
     bucket_sizes(T, n, K, cnt);
+    SAIS_STAGE("classify");
 
     // ---- step 1: sort LMS substrings by induction ----
     {
@@ -146,6 +167,7 @@ static void sais_rec(const CharT *T, i64 n, i64 K, std::vector<IdxT> &SA) {
         }
         induce(T, n, K, types, cnt, SA);
     }
+    SAIS_STAGE("step1");
 
     // collect sorted LMS positions
     std::vector<IdxT> lms_sorted;
@@ -157,6 +179,7 @@ static void sais_rec(const CharT *T, i64 n, i64 K, std::vector<IdxT> &SA) {
     // (is_lms(n-1) requires types[n-2]==L; if not, it is still first by
     // induction since T[n-1]=0 is unique smallest and lands at SA[0])
     i64 n_lms = (i64)lms_sorted.size();
+    SAIS_STAGE("collect");
 
     // ---- step 2: name LMS substrings ----
     std::vector<IdxT> name_of(n, EMPTY);
@@ -189,6 +212,7 @@ static void sais_rec(const CharT *T, i64 n, i64 K, std::vector<IdxT> &SA) {
         }
         name_of[pos] = (IdxT)(names - 1);
     }
+    SAIS_STAGE("naming");
 
     // LMS positions in text order + their names
     std::vector<IdxT> lms_text;
@@ -206,7 +230,9 @@ static void sais_rec(const CharT *T, i64 n, i64 K, std::vector<IdxT> &SA) {
         for (size_t k = 0; k < lms_text.size(); k++)
             reduced[k] = name_of[lms_text[k]];
         std::vector<IdxT> sub_sa;
+        SAIS_STAGE("reduce");
         sais_rec(reduced.data(), (i64)reduced.size(), names, sub_sa);
+        SAIS_STAGE("recursion");
         for (i64 k = 0; k < n_lms; k++) lms_order[k] = lms_text[sub_sa[k]];
     } else {
         for (i64 k = 0; k < n_lms; k++)
@@ -224,6 +250,8 @@ static void sais_rec(const CharT *T, i64 n, i64 K, std::vector<IdxT> &SA) {
         }
         induce(T, n, K, types, cnt, SA);
     }
+    SAIS_STAGE("step3");
+    g_sais_depth--;
 }
 
 }  // namespace
