@@ -160,6 +160,11 @@ def _run_e2e_pair(files, tmp, timeout_s) -> dict:
         pool = env.pop("PALLAS_AXON_POOL_IPS", None)
         if pool:
             env.setdefault("PHYLONIUM_TPU_DEFER_AXON", pool)
+        # run report: the child records which leg ACTUALLY carried the
+        # compare (a wedged tunnel turns a planned device dispatch into
+        # a host fallback; the tier label must say so)
+        report = os.path.join(tmp, "run_report.json")
+        env["PHYLONIUM_TPU_RUN_REPORT"] = report
         t_tpu, r_tpu = run(
             [sys.executable, "-m", "phylonium_tpu", *files], env=env
         )
@@ -172,12 +177,21 @@ def _run_e2e_pair(files, tmp, timeout_s) -> dict:
             f"stderr={r_tpu.stderr[-500:]!r}\n"
         )
         return {}
+    carrier = None
+    try:
+        import json
+
+        with open(report) as f:
+            carrier = json.load(f).get("compare_carrier")
+    except Exception:
+        pass
     return {
         "e2e_ref_s": round(t_ref, 2),
         "e2e_tpu_s": round(t_tpu, 2),
         "e2e_speedup": round(t_ref / t_tpu, 3),
         # byte equality — the same invariant the test suite holds
         "e2e_identical": r_ref.stdout == r_tpu.stdout,
+        "e2e_carrier": carrier,
     }
 
 
@@ -241,6 +255,9 @@ def e2e_tier(genomes, runs: int, timeout_s: int,
         "e2e_identical": all(s["e2e_identical"] for s in samples),
         "e2e_tpu_runs": [s["e2e_tpu_s"] for s in samples],
         "e2e_ref_runs": [s["e2e_ref_s"] for s in samples],
+        # actual compare carriers, one per run (host/device/mesh) —
+        # the planned-dispatch label is reported separately
+        "e2e_carriers": [s.get("e2e_carrier") for s in samples],
     }
 
 
@@ -829,6 +846,10 @@ def _run_bench(n, length, detail, failures):
                 _mark(f"SKIP e2e tier n={large_n} (budget)")
                 continue
             _mark(f"e2e tier n={large_n} x {tier_len}")
+            # the PLANNED dispatch (work-based rule); the per-run
+            # e2e_n*_carriers field reports what actually carried the
+            # compare — they differ when a degraded tunnel forces the
+            # host fallback mid-run
             detail[f"e2e_n{large_n}_dispatch"] = (
                 "host"
                 if _auto_prefers_host(large_n, tier_len, cfg)

@@ -467,6 +467,23 @@ def main(argv: list[str] | None = None) -> int:
     lengths = np.array([len(q) for q in queries], dtype=np.int64)
     print_matrix(cfg, names, lengths, counts, reference_index)
 
+    report_path = os.environ.get("PHYLONIUM_TPU_RUN_REPORT")
+    if report_path:
+        # machine-readable run report (observability only; written after
+        # the matrix so it never perturbs timed output): which leg
+        # ACTUALLY carried the compare, plus phase timings.  bench.py
+        # uses it to label e2e tiers with the real dispatch instead of
+        # the planned one.
+        try:
+            import json
+
+            from phylonium_tpu.core.pipeline import LAST_RUN_INFO
+
+            with open(report_path, "w") as f:
+                json.dump(LAST_RUN_INFO, f)
+        except Exception as e:  # never fail the run over a report
+            cfg.warn(f"could not write run report: {e}")
+
     return cfg.return_code
 
 

@@ -35,6 +35,19 @@ from phylonium_tpu.data.sequence import Sequence, gc_content
 from phylonium_tpu.index.esa import ESAIndex
 from phylonium_tpu.model.evo import EvoCounts
 
+# Which leg actually produced the pair counts in the most recent
+# process() run: "host" | "device" | "mesh" | "numpy".  Results are
+# bit-identical across carriers by construction — this is
+# observability so callers (bench, -v -v, PHYLONIUM_TPU_RUN_REPORT)
+# can report the dispatch that REALLY happened, not the one that was
+# planned (a wedged tunnel turns a planned device run into a host
+# fallback; claiming "device" for it would be dishonest).
+LAST_RUN_INFO: dict = {}
+
+
+def _set_carrier(kind: str) -> None:
+    LAST_RUN_INFO["compare_carrier"] = kind
+
 
 def map_queries(
     ref: ESAIndex,
@@ -385,10 +398,15 @@ def _resilient_device_counts(device_fn, states, cfg, progress, label):
     (The reference binary has no failure mode here — neither may we.)"""
     timeout_s = _attempt_timeout_s(states)
 
+    carrier = "mesh" if label == "mesh" else "device"
+
     def attempt():
         if timeout_s > 0:
-            return _call_with_hang_bound(device_fn, timeout_s, label)
-        return device_fn()
+            result = _call_with_hang_bound(device_fn, timeout_s, label)
+        else:
+            result = device_fn()
+        _set_carrier(carrier)
+        return result
 
     try:
         return attempt()
@@ -427,6 +445,7 @@ def _resilient_device_counts(device_fn, states, cfg, progress, label):
                 )
     from phylonium_tpu.ops.bitplane_host import pair_counts_host
 
+    _set_carrier("host")
     return pair_counts_host(states, progress=progress)
 
 
@@ -614,13 +633,16 @@ def _race_host(states, device_fn, progress=None):
 
     if host_result is not None and "result" not in outcome:
         trace("host won")
+        _set_carrier("host")
         return host_result
     done.wait()
     if "result" in outcome:
         trace("device won")
+        _set_carrier("device")
         return outcome["result"]
     # device path failed and the host run was aborted: redo on host
     trace("device failed, redoing on host")
+    _set_carrier("host")
     return pair_counts_host(states, progress=progress)
 
 
@@ -643,12 +665,14 @@ def pair_counts(
     if backend == "numpy":
         from phylonium_tpu.ops.match_table import pair_counts_numpy
 
+        _set_carrier("numpy")
         return pair_counts_numpy(states)
     if backend == "host" or _auto_prefers_host(
         states.shape[0], states.shape[1], cfg
     ):
         from phylonium_tpu.ops.bitplane_host import pair_counts_host
 
+        _set_carrier("host")
         return pair_counts_host(states, progress=progress)
 
     # an explicit --mesh names the collective path (its device count is
@@ -662,6 +686,7 @@ def pair_counts(
         # retry-then-host resilience (hang-bounded attempts included).
         if _is_multiprocess():
             result = _pair_counts_mesh(states, cfg)
+            _set_carrier("mesh")
         else:
             result = _resilient_device_counts(
                 lambda: _pair_counts_mesh(states, cfg),
@@ -676,6 +701,7 @@ def pair_counts(
     if backend == "auto" and _is_multiprocess():
         # pod runs: every process joins the collective, no race/fallback
         result = _pair_counts_mesh(states, cfg)
+        _set_carrier("mesh")
         if progress is not None:
             progress(1.0)
         return result
@@ -691,6 +717,7 @@ def pair_counts(
             # for perf.  The host kernel is the fastest CPU path.
             from phylonium_tpu.ops.bitplane_host import pair_counts_host
 
+            _set_carrier("host")
             return pair_counts_host(states, progress=progress)
 
         # Single-process auto: EVERY device decision — the backend
@@ -848,6 +875,7 @@ def process(
 ) -> EvoCounts:
     import time
 
+    LAST_RUN_INFO.clear()
     timings: dict[str, float] = {}
     n = len(queries)
 
@@ -973,6 +1001,7 @@ def _compare_and_finish(
             feeder.cancel()  # stop shipping what nobody will count
             from phylonium_tpu.ops.bitplane_host import pair_counts_host
 
+            _set_carrier("host")
             subs, homs = pair_counts_host(states, progress=progress)
         else:
             subs, homs = _race_host(
@@ -983,11 +1012,13 @@ def _compare_and_finish(
     timings["compare"] = time.time() - t0
     bar.finish()
 
+    LAST_RUN_INFO["timings"] = {k: round(v, 3) for k, v in timings.items()}
     if cfg.verbose >= 2:
         phases = "  ".join(f"{k}={v:.3f}s" for k, v in timings.items())
+        carrier = LAST_RUN_INFO.get("compare_carrier", "?")
         print(
             f"phase timings ({ref.backend_name} index, "
-            f"{cfg.count_backend} counts): {phases}",
+            f"{cfg.count_backend} counts, {carrier} carried): {phases}",
             file=sys.stderr,
         )
 

@@ -109,8 +109,9 @@ def test_thread_controls():
 def test_mapper_parity_across_kmer_widths(rng, monkeypatch):
     """Bucket width must never change mapping output: a non-empty
     width-w bucket holds every max-lcp attainer, and an empty primary
-    falls back to the k=10 secondary (phylonium_native.cpp
-    bucket_range).  PHYLONIUM_TPU_KMER is read per index build, so
+    falls back to the one-base-narrower secondary (capped at 10;
+    phylonium_native.cpp build_buckets).  PHYLONIUM_TPU_KMER is read
+    per index build, so
     in-process forcing per index works.  Covers non-ACGT query/subject
     bytes (matches may span equal non-ACGT bytes only via the
     full-range path)."""

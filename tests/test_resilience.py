@@ -89,6 +89,8 @@ def test_explicit_device_retry_succeeds(states, inject, capsys):
     err = capsys.readouterr().err
     assert "transient TPU backend error" in err
     assert "retrying" in err
+    # the retry succeeded on the device leg: the carrier must say so
+    assert pipe.LAST_RUN_INFO["compare_carrier"] == "device"
 
 
 def test_explicit_device_falls_back_to_host(states, inject, capsys):
@@ -100,6 +102,52 @@ def test_explicit_device_falls_back_to_host(states, inject, capsys):
     np.testing.assert_array_equal(subs, es)
     np.testing.assert_array_equal(homs, eh)
     assert "host" in capsys.readouterr().err
+
+
+def test_carrier_reported_on_host_fallback(states, inject):
+    """A planned device run that fell back must report carrier=host —
+    bench labels its tiers from this (a wedged tunnel otherwise shows
+    up as a fake through-the-chip win)."""
+    inject(2)
+    cfg = RunConfig(count_backend="device", progress="never")
+    pair_counts(states, cfg)
+    assert pipe.LAST_RUN_INFO["compare_carrier"] == "host"
+
+
+def test_carrier_reported_for_host_and_numpy(states):
+    for backend, expect in (("host", "host"), ("numpy", "numpy")):
+        cfg = RunConfig(count_backend=backend, progress="never")
+        pair_counts(states, cfg)
+        assert pipe.LAST_RUN_INFO["compare_carrier"] == expect
+
+
+def test_run_report_file(tmp_path, inject, monkeypatch, capsys):
+    """PHYLONIUM_TPU_RUN_REPORT dumps {compare_carrier, timings}."""
+    import json
+
+    from phylonium_tpu.cli import main
+
+    files = []
+    rng = np.random.default_rng(5)
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    base = rng.choice(acgt, 4000)
+    for k in range(3):
+        arr = base.copy()
+        idx = rng.random(arr.size) < 0.02 * (k + 1)
+        arr[idx] = acgt[(arr[idx] + 1) % 4]
+        f = tmp_path / f"g{k}.fasta"
+        f.write_text(">g%d\n%s\n" % (k, arr.tobytes().decode()))
+        files.append(str(f))
+    report = tmp_path / "report.json"
+    monkeypatch.setenv("PHYLONIUM_TPU_RUN_REPORT", str(report))
+    inject(2)  # planned device -> double fault -> host fallback
+    rc = main(["--count-backend", "device", "--progress=never",
+               *files])
+    capsys.readouterr()
+    assert rc == 0
+    info = json.loads(report.read_text())
+    assert info["compare_carrier"] == "host"
+    assert "compare" in info["timings"]
 
 
 def test_mesh_path_falls_back_to_host(states, inject, capsys):
