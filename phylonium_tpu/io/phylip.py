@@ -26,6 +26,8 @@ from phylonium_tpu.model.evo import EvoCounts
 
 
 def _fmt(value: float, ani: bool) -> str:
+    if np.isnan(value) and np.signbit(value):
+        return "-nan"  # Python formatting drops the NaN sign; C keeps it
     if ani:
         return f"{value:.4g}"
     return f"{value:.4e}"
@@ -38,10 +40,23 @@ def format_matrix(names: list[str], dist: np.ndarray, ani: bool) -> str:
     # per-cell Python formatting cost ~1.4 s at N=1000, this is ~0.4 s
     cells = np.array(dist, dtype=np.float64, copy=True)
     np.fill_diagonal(cells, 0.0)
-    row_fmt = "  ".join(["%.4g" if ani else "%.4e"] * n)
+    fmt1 = "%.4g" if ani else "%.4e"
+    row_fmt = "  ".join([fmt1] * n)
+    # glibc printf renders negative-signed NaNs as "-nan" (the JC map
+    # produces them for raw > 3/4, src/evo_model.cxx:124-131 semantics);
+    # Python's %-formatting silently drops the sign, so rows carrying
+    # one take a per-cell slow path
+    negnan = np.isnan(cells) & np.signbit(cells)
     lines = [str(n)]
     for i in range(n):
-        lines.append(names[i] + "  " + row_fmt % tuple(cells[i]))
+        if negnan[i].any():
+            vals = "  ".join(
+                "-nan" if negnan[i, j] else fmt1 % cells[i, j]
+                for j in range(n)
+            )
+            lines.append(names[i] + "  " + vals)
+        else:
+            lines.append(names[i] + "  " + row_fmt % tuple(cells[i]))
     return "\n".join(lines) + "\n"
 
 

@@ -59,10 +59,17 @@ class EvoCounts:
     def estimate_jc(self, zero_on_error: bool = False) -> np.ndarray:
         raw = self.estimate_raw(zero_on_error)
         with np.errstate(invalid="ignore", divide="ignore"):
-            d = -0.75 * np.log(1.0 - (4.0 / 3.0) * raw)
-        # fix negative zero / negative estimates; NaN passes through
-        # (NaN <= 0 is False, same as the C++ comparison)
-        return np.where(d <= 0.0, 0.0, d)
+            arg = 1.0 - (4.0 / 3.0) * raw
+            d = -0.75 * np.log(arg)
+            # glibc's log(x < 0) returns a NEGATIVE-signed NaN, the
+            # -0.75 multiply forwards it sign-preserved, and printf
+            # renders it "-nan" (reachable: raw > 3/4 from spurious
+            # anchors between unrelated genomes).  numpy's NaN sign
+            # here is platform noise — pin it to the reference's.
+            d = np.where(arg < 0, np.copysign(np.nan, -1.0), d)
+            # fix negative zero / negative estimates; NaN passes through
+            # (NaN <= 0 is False, same as the C++ comparison)
+            return np.where(d <= 0.0, 0.0, d)
 
     def coverage(self, lengths: np.ndarray) -> np.ndarray:
         """Per-cell homologs / length-of-row-genome: coverage[i, j] uses

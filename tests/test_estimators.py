@@ -71,3 +71,34 @@ def test_shuprop_is_cdf():
         assert 0.0 <= v <= 1.0
         assert v >= prev - 1e-12
         prev = v
+
+
+def test_jc_negative_nan_sign_parity():
+    """raw > 3/4 must yield a NEGATIVE-signed NaN (glibc log(x<0)
+    semantics, printed "-nan" by the reference); homologs == 0 must
+    stay a POSITIVE NaN (the reference's NAN macro, printed "nan")."""
+    import numpy as np
+
+    from phylonium_tpu.model.evo import EvoCounts
+
+    subs = np.array([[0, 9, 0], [9, 0, 0], [0, 0, 0]], dtype=np.int64)
+    homs = np.array([[20, 10, 0], [10, 20, 0], [0, 0, 20]], dtype=np.int64)
+    d = EvoCounts(subs, homs).estimate_jc()
+    assert np.isnan(d[0, 1]) and np.signbit(d[0, 1])  # raw = 0.9
+    assert np.isnan(d[0, 2]) and not np.signbit(d[0, 2])  # no homology
+
+
+def test_format_matrix_renders_nan_signs():
+    import numpy as np
+
+    from phylonium_tpu.io.phylip import format_matrix
+
+    neg = np.copysign(np.nan, -1.0)
+    dist = np.array([[0.0, neg, np.nan],
+                     [neg, 0.0, 0.5],
+                     [np.nan, 0.5, 0.0]])
+    out = format_matrix(["a", "b", "c"], dist, ani=False)
+    rows = out.splitlines()
+    assert rows[1] == "a  0.0000e+00  -nan  nan"
+    assert rows[2] == "b  -nan  0.0000e+00  5.0000e-01"
+    assert rows[3] == "c  nan  5.0000e-01  0.0000e+00"

@@ -69,7 +69,10 @@ def _write_fasta(path, name, arr, contigs, rng):
                 f.write(s[i : i + 70] + "\n")
 
 
-@pytest.mark.parametrize("seed", [11, 23, 47, 83, 131])
+# 1049: its panel yields a pair with homologs > 0 and raw > 3/4 — the
+# JC map then produces glibc's NEGATIVE-signed NaN, printed "-nan"
+# (caught by a 100-seed campaign; fixed in model/evo.py + io/phylip.py)
+@pytest.mark.parametrize("seed", [11, 23, 47, 83, 131, 1049])
 def test_structural_fuzz_matches_reference(oracle, tmp_path, seed):  # noqa: F811
     rng = np.random.default_rng(seed)
     n_genomes = int(rng.integers(4, 7))
