@@ -21,3 +21,4 @@ Architecture (TPU-first, not a port):
 __version__ = "0.1.0"
 
 from phylonium_tpu.data.sequence import Sequence, Genome  # noqa: F401
+from phylonium_tpu.api import DistanceResult, distance_matrix  # noqa: F401
