@@ -230,3 +230,46 @@ def test_heavy_draft_assembly(oracle, tmp_path):
         write_fasta(tmp_path / f"d{g}.fasta", recs)
 
     assert_parity(["ref.fasta", "d0.fasta", "d1.fasta"], tmp_path)
+
+
+def test_heavily_fragmented_draft(oracle, tmp_path, rng):
+    """Draft assemblies with 100s of contigs (BASELINE.md config #4):
+    one genome split into 300 contigs with every other contig
+    reverse-complemented — the '!' joins and strand projection must
+    stay byte-identical through the revseqcmp-equivalent path."""
+    from phylonium_tpu.data.sequence import revcomp
+
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    base = rng.choice(acgt, 120_000)
+    files = []
+    for k in range(4):
+        arr = base.copy()
+        idx = rng.random(arr.size) < 0.01 * (k + 1)
+        arr[idx] = acgt[(arr[idx] + 1) % 4]
+        path = tmp_path / f"D{k}.fasta"
+        with open(path, "w") as f:
+            if k == 3:  # the fragmented draft
+                cuts = np.sort(rng.integers(1, arr.size - 1, 299))
+                parts = np.split(arr, cuts)
+                for ci, part in enumerate(parts):
+                    if ci % 2:
+                        part = np.frombuffer(
+                            revcomp(part.tobytes()), np.uint8
+                        )
+                    f.write(f">D{k}_c{ci}\n")
+                    s = part.tobytes().decode()
+                    for i in range(0, len(s), 70):
+                        f.write(s[i : i + 70] + "\n")
+            else:
+                f.write(f">D{k}\n")
+                s = arr.tobytes().decode()
+                for i in range(0, len(s), 70):
+                    f.write(s[i : i + 70] + "\n")
+        files.append(path.name)
+
+    rc_o, out_o, _ = run_oracle(sorted(files), str(tmp_path))
+    rc_t, out_t, err_t = run_ours(
+        ["--progress=never", *sorted(files)], str(tmp_path)
+    )
+    assert rc_o == rc_t
+    assert out_t == out_o, err_t[-500:]
