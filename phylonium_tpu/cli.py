@@ -189,7 +189,17 @@ def parse_args(argv: list[str]) -> tuple[RunConfig, list[str]]:
             val = arg.split("=", 1)[1] if "=" in arg else take_value(arg)
             low = val.lower()
             if low in ("raw", "jc", "ani"):
-                cfg.distance = "jc" if low == "jc" else low
+                # sticky bits, reference semantics: repeats OR together,
+                # 'jc' sets nothing; estimator precedence raw > ani > jc
+                if low == "raw":
+                    cfg.dist_raw = True
+                elif low == "ani":
+                    cfg.dist_ani = True
+                cfg.distance = (
+                    "raw" if cfg.dist_raw
+                    else "ani" if cfg.dist_ani
+                    else "jc"
+                )
             else:
                 cfg.soft_error(
                     f"ignoring argument for --distance '{val}' expected "

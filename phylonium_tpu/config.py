@@ -43,7 +43,16 @@ def _env_float(name: str, default: float) -> float:
 
 @dataclass
 class RunConfig:
-    distance: str = "jc"  # 'jc' | 'raw' | 'ani'
+    distance: str = "jc"  # 'jc' | 'raw' | 'ani' (estimator choice)
+    # The reference accumulates --distance choices as STICKY flag bits
+    # (src/phylonium.cxx:147-158, src/global.h:14-15): the estimator
+    # takes raw > ani > jc precedence, while the FORMATTER keys on the
+    # ani bit alone (src/io.cxx:149) — so '--distance=ani
+    # --distance=raw' prints raw values in defaultfloat.  The CLI sets
+    # these bits and derives `distance`; library callers may keep
+    # setting `distance` directly.
+    dist_raw: bool = False
+    dist_ani: bool = False
     bootstrap: int = 0  # number of *extra* matrices printed
     complete_deletion: bool = False
     print_positions: bool = False

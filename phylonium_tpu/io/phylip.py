@@ -126,7 +126,9 @@ def print_matrix(
     out=None,
 ) -> None:
     out = out or sys.stdout
-    ani = cfg.distance == "ani"
+    # the ani FORMAT keys on the ani bit alone (src/io.cxx:149), even
+    # when the raw bit wins the estimator choice
+    ani = cfg.dist_ani or cfg.distance == "ani"
     dist = estimate(counts, cfg.distance)
 
     print_warnings(cfg, names, lengths, dist, counts)

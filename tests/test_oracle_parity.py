@@ -273,3 +273,25 @@ def test_heavily_fragmented_draft(oracle, tmp_path, rng):
     )
     assert rc_o == rc_t
     assert out_t == out_o, err_t[-500:]
+
+
+def test_repeated_distance_flags_sticky_bits(oracle, tmp_path, rng):
+    """--distance choices accumulate as STICKY flag bits in the
+    reference (src/phylonium.cxx:147-158): the estimator takes
+    raw > ani > jc precedence while the FORMATTER keys on the ani bit
+    alone (src/io.cxx:149) — '--distance=ani --distance=raw' therefore
+    prints raw values in defaultfloat.  Caught by a 200-seed
+    flag-surface campaign."""
+    files = make_panel(tmp_path, rng, n=3, length=20_000)
+    for combo in (
+        ["--distance=ani", "--distance=raw"],
+        ["--distance", "raw", "--distance=jc"],
+        ["--distance=raw", "--distance=ani"],
+        ["--distance=jc", "--distance=ani"],
+    ):
+        rc_o, out_o, _ = run_oracle([*combo, *files], str(tmp_path))
+        rc_t, out_t, err_t = run_ours(
+            ["--progress=never", *combo, *files], str(tmp_path)
+        )
+        assert rc_o == rc_t, combo
+        assert out_t == out_o, (combo, err_t[-300:])
