@@ -70,6 +70,23 @@ Options:
 """
 
 
+def _strtoul10(val: str) -> int | None:
+    """glibc strtoul(s, &end, 10) with the reference's *end=='\\0' check:
+    optional leading whitespace and sign, base-10 digits, nothing after.
+    A negative value WRAPS mod 2^64; digits beyond ULONG_MAX are ERANGE
+    (None).  Numeric flags (-b, -t) must share these exact semantics
+    (src/phylonium.cxx:166-199) — e.g. '-b -1' means 2^64-1 matrices."""
+    import re
+
+    m = re.match(r"[ \t\n\r\f\v]*([+-])?([0-9]+)\Z", val)
+    if not m:
+        return None
+    digits = int(m.group(2))
+    if digits > 0xFFFFFFFFFFFFFFFF:
+        return None
+    return (-digits if m.group(1) == "-" else digits) % (1 << 64)
+
+
 def usage(status: int) -> "NoReturn":  # noqa: F821
     out = sys.stdout if status == 0 else sys.stderr
     out.write(USAGE)
@@ -173,12 +190,10 @@ def parse_args(argv: list[str]) -> tuple[RunConfig, list[str]]:
             cfg.two_pass = True
         elif arg == "-b" or arg == "--bootstrap" or arg.startswith("--bootstrap="):
             val = arg.split("=", 1)[1] if "=" in arg else take_value(arg)
-            try:
-                bootstrap = int(val)
-                if bootstrap <= 0:
-                    raise ValueError
+            bootstrap = _strtoul10(val)
+            if bootstrap:  # junk/ERANGE (None) and 0 both soft-error
                 cfg.bootstrap = bootstrap - 1
-            except ValueError:
+            else:
                 cfg.soft_error(
                     f"Expected a positive number for -b argument, but "
                     f"'{val}' was given. Ignoring -b argument."
@@ -225,13 +240,26 @@ def parse_args(argv: list[str]) -> tuple[RunConfig, list[str]]:
             cfg.reference_name = take_value(arg)
         elif arg in ("-t", "--threads") or arg.startswith("--threads="):
             val = arg.split("=", 1)[1] if "=" in arg else take_value(arg)
-            try:
-                cfg.threads = int(val)
-            except ValueError:
+            threads = _strtoul10(val)
+            if threads is None:
                 cfg.warn(
                     f"Expected a number for -t argument, but '{val}' was "
                     "given. Ignoring -t argument."
                 )
+            else:
+                from phylonium_tpu.native import num_procs
+
+                if threads > num_procs():
+                    # reference wording verbatim, typo included
+                    # (src/phylonium.cxx:179-183): a wrapped negative
+                    # lands here with its mod-2^64 value
+                    cfg.warn(
+                        "The number of threads to be used, is greater "
+                        "then the number of available processors; "
+                        f"Ignoring -t {threads} argument."
+                    )
+                else:
+                    cfg.threads = threads
         elif arg in ("-v", "--verbose"):
             cfg.verbose += 1
         elif arg == "--version":
@@ -284,7 +312,15 @@ def parse_args(argv: list[str]) -> tuple[RunConfig, list[str]]:
             cfg.profile_dir = (
                 arg.split("=", 1)[1] if "=" in arg else take_value(arg)
             )
+        elif arg.startswith("--"):
+            # getopt_long's diagnostic line precedes the usage text
+            print(f"{PROG}: unrecognized option '{arg}'", file=sys.stderr)
+            usage(1)
         elif arg.startswith("-") and arg != "-":
+            # bundles were pre-split, so an unknown short is one char
+            print(
+                f"{PROG}: invalid option -- '{arg[1:]}'", file=sys.stderr
+            )
             usage(1)
         else:
             files.append(arg)

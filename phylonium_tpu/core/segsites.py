@@ -35,7 +35,15 @@ def write_refpos(
     states: np.ndarray,
     blocks: list[Homology],
 ) -> None:
-    with open(path, "w") as f:
+    # the reference writes through std::ofstream(REFPOS_FILE_NAME)
+    # (src/process.cxx:479): an unopenable path ('' / missing
+    # directory) sets failbit and every write silently no-ops, exit
+    # code unaffected — match that instead of crashing
+    try:
+        f = open(path, "w")
+    except OSError:
+        return
+    with f:
         counter = 1
         for h in blocks:
             start, end = h.start(), h.end()

@@ -254,3 +254,71 @@ def test_config_error_is_clean_exit(tmp_path, capsys):
     assert rc == 1
     err = capsys.readouterr().err
     assert "phylonium-tpu: " in err and "native" in err
+
+
+def test_numeric_flags_strtoul_semantics(tmp_path, capsys):
+    """-b/-t parse like strtoul(s, &end, 10) (src/phylonium.cxx:166-199):
+    trailing junk and ERANGE reject, '+N' accepts, -t beyond num_procs
+    warns with the reference's exact (typo included) wording."""
+    from phylonium_tpu.cli import parse_args
+
+    def parse(*args):
+        cfg, files = parse_args(["x.fa", "y.fa", *args])
+        return cfg
+
+    assert parse("-b", "+3").bootstrap == 2
+    assert parse("-b", " 3").bootstrap == 2  # leading ws ok
+    for bad in ("3 ", "0x3", "", "abc", "0",
+                "99999999999999999999999"):  # trailing junk/ERANGE/zero
+        cfg = parse("-b", bad)
+        assert cfg.bootstrap == 0, bad
+        assert cfg.return_code == 1  # soft error
+    capsys.readouterr()
+
+    cfg = parse("-t", "9999")
+    assert cfg.threads == 0
+    err = capsys.readouterr().err
+    assert "greater then the number of available processors" in err
+    assert "Ignoring -t 9999 argument" in err
+
+    cfg = parse("-t", "-2")  # wraps mod 2^64 like strtoul
+    err = capsys.readouterr().err
+    assert "Ignoring -t 18446744073709551614 argument" in err
+    assert cfg.threads == 0
+
+
+def test_unknown_flags_print_getopt_diagnostics(tmp_path, capsys):
+    from phylonium_tpu.cli import main
+
+    with pytest.raises(SystemExit) as e:
+        main(["--bogus", "x.fa", "y.fa"])
+    assert e.value.code == 1
+    assert "unrecognized option '--bogus'" in capsys.readouterr().err
+
+    with pytest.raises(SystemExit) as e:
+        main(["-x", "x.fa", "y.fa"])
+    assert e.value.code == 1
+    assert "invalid option -- 'x'" in capsys.readouterr().err
+
+
+def test_refpos_unopenable_path_is_silent(tmp_path, capsys, rng):
+    """-p '' / -p <missing-dir>/f: the reference's ofstream fails
+    silently (failbit) and the run completes rc 0 — no crash, no file
+    (src/process.cxx:479)."""
+    from phylonium_tpu.cli import main
+
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    base = rng.choice(acgt, 5_000)
+    files = []
+    for k in range(2):
+        arr = base.copy()
+        arr[rng.random(arr.size) < 0.02] = ord("A")
+        f = tmp_path / f"s{k}.fasta"
+        f.write_text(f">s{k}\n" + arr.tobytes().decode() + "\n")
+        files.append(str(f))
+    for path in ("", str(tmp_path / "no-such-dir" / "x.pos")):
+        rc = main(["--progress=never", "-p", path, *files])
+        out = capsys.readouterr().out
+        assert rc == 0, path
+        assert out.splitlines()[0] == "2"
+    assert not (tmp_path / "no-such-dir").exists()
