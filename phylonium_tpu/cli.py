@@ -313,8 +313,28 @@ def parse_args(argv: list[str]) -> tuple[RunConfig, list[str]]:
                 arg.split("=", 1)[1] if "=" in arg else take_value(arg)
             )
         elif arg.startswith("--"):
-            # getopt_long's diagnostic line precedes the usage text
-            print(f"{PROG}: unrecognized option '{arg}'", file=sys.stderr)
+            # getopt_long's diagnostic line precedes the usage text;
+            # a prefix matching several long options gets the
+            # "ambiguous" form (our extra options can make a prefix
+            # ambiguous that is unique in the reference's table —
+            # inherent to extending the surface)
+            name = arg[2:].partition("=")[0]
+            hits = (
+                [o for o in _LONG_OPTS if o.startswith(name)]
+                if name else []
+            )
+            if len(hits) > 1:
+                poss = " ".join(f"'--{o}'" for o in hits)
+                print(
+                    f"{PROG}: option '{arg}' is ambiguous; "
+                    f"possibilities: {poss}",
+                    file=sys.stderr,
+                )
+            else:
+                print(
+                    f"{PROG}: unrecognized option '{arg}'",
+                    file=sys.stderr,
+                )
             usage(1)
         elif arg.startswith("-") and arg != "-":
             # bundles were pre-split, so an unknown short is one char

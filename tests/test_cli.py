@@ -322,3 +322,18 @@ def test_refpos_unopenable_path_is_silent(tmp_path, capsys, rng):
         assert rc == 0, path
         assert out.splitlines()[0] == "2"
     assert not (tmp_path / "no-such-dir").exists()
+
+
+def test_ambiguous_long_prefix_diagnostic(capsys):
+    """A long-option prefix matching several of OUR options gets
+    getopt_long's 'is ambiguous; possibilities:' diagnostic (the extra
+    backend options can make a reference-unique prefix ambiguous here —
+    inherent to extending the surface)."""
+    from phylonium_tpu.cli import main
+
+    with pytest.raises(SystemExit) as e:
+        main(["--c", "x.fa", "y.fa"])
+    assert e.value.code == 1
+    err = capsys.readouterr().err
+    assert "option '--c' is ambiguous; possibilities:" in err
+    assert "'--complete-deletion'" in err
