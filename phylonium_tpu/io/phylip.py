@@ -17,6 +17,7 @@ Formatting parity with the reference (`src/io.cxx:141-233`):
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
@@ -135,11 +136,33 @@ def print_matrix(
 
     out.write(format_matrix(names, dist, ani))
     if cfg.bootstrap:
-        rng = np.random.default_rng()
-        for _ in range(cfg.bootstrap):
-            boot = counts.bootstrap(rng)
-            dist = estimate(boot, cfg.distance)
-            out.write(format_matrix(names, dist, ani))
+        seed = os.environ.get("PHYLONIUM_TPU_RD_SEED")
+        if seed is not None:
+            # Draw-for-draw glibcxx replication: with the oracle built
+            # under PHYLONIUM_ORACLE_RD_SEED=<same u32>, `-b` replicate
+            # matrices are byte-identical (model/glibcxx_prng.py).  The
+            # reference consumes 1248 random_device words at startup:
+            # its seed-buffer template sizes by mt19937::result_type,
+            # which is uint_fast32_t = 8 BYTES on LP64, doubling the
+            # word count (src/phylonium.cxx:76-91); it then bootstraps
+            # every cell of the full N x N matrix row-major
+            # (src/io.cxx:187-193).
+            from phylonium_tpu.model import glibcxx_prng as gp
+
+            grng = gp.Mt19937(gp.splitmix32_words(int(seed), 1248))
+            for _ in range(cfg.bootstrap):
+                subs = gp.bootstrap_cells(
+                    counts.homologs, counts.substitutions, grng
+                )
+                boot = EvoCounts(subs, counts.homologs.copy())
+                dist = estimate(boot, cfg.distance)
+                out.write(format_matrix(names, dist, ani))
+        else:
+            rng = np.random.default_rng()
+            for _ in range(cfg.bootstrap):
+                boot = counts.bootstrap(rng)
+                dist = estimate(boot, cfg.distance)
+                out.write(format_matrix(names, dist, ani))
     # NOTE: with -b, `dist` is now the LAST replicate — deliberately:
     # the reference overwrites dist_matrix per replicate and its verbose
     # avg-coverage loop masks NaN cells by whatever it holds afterwards

@@ -1,8 +1,17 @@
-"""Distributional parity of `-b` bootstrap matrices vs the reference.
+"""Parity of `-b` bootstrap matrices vs the reference: byte-exact under
+a shared deterministic seed, distributional in production mode.
 
-Exact parity is impossible: the reference seeds its PRNG from
-``std::random_device`` (src/evo_model.cxx:136-147, src/phylonium.cxx:91),
-so every run draws different replicates.  But each bootstrapped cell is
+Production runs are never byte-reproducible: the reference seeds its
+PRNG from ``std::random_device`` (src/evo_model.cxx:136-147,
+src/phylonium.cxx:91).  But the whole stack below the entropy source is
+fully specified, so the oracle build interposes a splitmix32 word
+stream over ``std::random_device::_M_getval`` (tests/oracle/shim.cpp,
+env ``PHYLONIUM_ORACLE_RD_SEED``) and our CLI replays the identical
+stream through model/glibcxx_prng.py (env ``PHYLONIUM_TPU_RD_SEED``) —
+seeded `-b` output is then byte-identical, draw for draw
+(test_bootstrap_seeded_byte_parity).
+
+For the default unseeded path, each bootstrapped cell is
 Binomial(homologs, substitutions/homologs) rescaled through the JC map,
 so the replicate *distributions* must agree.  This test collects one
 large batch of replicates from each binary on the same panel and
@@ -42,6 +51,38 @@ def parse_matrices(stdout: str) -> list[np.ndarray]:
         out.append(np.array(rows))
         i += 1 + n
     return out
+
+
+@pytest.mark.parametrize("seed", ["0", "42", "4294967295"])
+@pytest.mark.parametrize(
+    "extra", [[], ["--distance=raw"], ["--distance=ani"], ["-2"]]
+)
+def test_bootstrap_seeded_byte_parity(oracle, tmp_path, rng, seed, extra):  # noqa: F811
+    import os
+    import subprocess
+    import sys
+
+    from tests.test_oracle_parity import ORACLE_BIN, REPO
+
+    files = make_panel(tmp_path, rng, n=4, length=12_000)
+    args = ["-b", "6", *extra, *files]
+    env_o = dict(os.environ, PHYLONIUM_ORACLE_RD_SEED=seed)
+    r_o = subprocess.run(
+        [ORACLE_BIN, *args], capture_output=True, text=True,
+        cwd=str(tmp_path), env=env_o,
+    )
+    env_t = dict(
+        os.environ,
+        PHYLONIUM_TPU_RD_SEED=seed,
+        PHYLONIUM_TPU_PLATFORM="cpu",
+        PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    )
+    r_t = subprocess.run(
+        [sys.executable, "-m", "phylonium_tpu", *args],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env_t,
+    )
+    assert r_t.stdout == r_o.stdout, r_t.stderr[-2000:]
+    assert r_t.returncode == r_o.returncode
 
 
 def test_bootstrap_distribution(oracle, tmp_path, rng):  # noqa: F811

@@ -1,0 +1,97 @@
+"""Unit golden vectors for the glibcxx PRNG replication stack.
+
+Every expected value below was produced by actual libstdc++ 12 code
+compiled on this machine (std::seed_seq / std::mt19937 /
+std::binomial_distribution<> under a splitmix32-interposed
+std::random_device — the same interposition tests/oracle/shim.cpp uses
+under PHYLONIUM_ORACLE_RD_SEED).  The e2e seeded byte-parity lives in
+test_bootstrap_parity.py; these vectors pin each layer so a future
+failure localizes immediately.
+"""
+
+import numpy as np
+
+from phylonium_tpu.model.glibcxx_prng import (
+    BinomialDist,
+    Mt19937,
+    SeedSeq,
+    bootstrap_cells,
+    splitmix32_words,
+)
+
+
+def test_splitmix32_words():
+    assert splitmix32_words(42, 4) == [
+        551831576, 144025891, 322543647, 3034809370,
+    ]
+    # stream continuation == one longer stream
+    w8 = splitmix32_words(42, 8)
+    assert w8[:4] == splitmix32_words(42, 4)
+
+
+def test_mt19937_from_seed_seq():
+    # C++: 624-word seed_seq over splitmix(42) words 4..627, then 4 draws
+    words = splitmix32_words(42, 628)[4:]
+    rng = Mt19937(words)
+    assert [rng.next_u32() for _ in range(4)] == [
+        4010891029, 2092130643, 888572333, 965690881,
+    ]
+
+
+def test_seed_seq_small_inputs():
+    # n < 7 exercises the (n-1)//2 t-parameter branch
+    out = SeedSeq([1, 2, 3]).generate(4)
+    assert all(0 <= w <= 0xFFFFFFFF for w in out)
+    # deterministic: same input, same output
+    assert out == SeedSeq([1, 2, 3]).generate(4)
+
+
+# std::binomial_distribution<> draws under the reference's exact
+# seeding (1248-word path not needed here: the C++ dump used 624) —
+# seed 7, 8 fresh-distribution draws per (t, p) case.  Cases cover the
+# waiting-time path (t*p < 8), the Devroye rejection path, p > 1/2
+# mirroring, p == 1, t = 0 with NaN rate (zero draws), and the
+# 32*t / 4*t int-wrap quirk at t = 2e9 (libstdc++ computes those in
+# IntType; the reference narrows size_t homologs into int).
+_BINOM_CASES = [
+    (0, float("nan")), (5, 0.3), (100, 0.01), (100, 0.5), (1000, 0.013),
+    (20000, 0.0483), (20000, 0.9), (1000000, 0.25), (7, 1.0),
+    (123456789, 0.0001), (2000000000, 0.4), (17, 0.76), (1000000, 0.75),
+]
+_BINOM_EXPECTED = [
+    0, 0, 0, 0, 0, 0, 0, 0,
+    0, 1, 1, 1, 1, 2, 0, 1,
+    0, 0, 0, 3, 0, 0, 0, 1,
+    42, 44, 58, 52, 44, 44, 52, 56,
+    13, 11, 14, 17, 6, 9, 14, 11,
+    1005, 940, 969, 994, 982, 1010, 950, 1003,
+    17998, 17981, 18076, 17994, 18047, 18032, 18002, 18047,
+    250905, 249878, 249787, 250421, 250650, 249113, 249306, 249454,
+    7, 7, 7, 7, 7, 7, 7, 7,
+    12327, 12204, 12335, 12293, 12577, 12397, 12415, 12313,
+    799990861, 800028623, 799996303, 800003804,
+    800036910, 799989480, 799993130, 799983389,
+    12, 14, 15, 15, 10, 14, 9, 11,
+    749879, 750099, 749667, 750628, 749954, 749971, 749258, 750549,
+]
+
+
+def test_binomial_golden_vectors():
+    rng = Mt19937(splitmix32_words(7, 624))
+    got = []
+    for t, p in _BINOM_CASES:
+        for _ in range(8):
+            got.append(BinomialDist(t, p)(rng))
+    assert got == _BINOM_EXPECTED
+
+
+def test_bootstrap_cells_shape_and_zero_cells():
+    rng = Mt19937(splitmix32_words(3, 1248))
+    h = np.array([[0, 100], [100, 0]], dtype=np.int64)
+    s = np.array([[0, 17], [17, 0]], dtype=np.int64)
+    out = bootstrap_cells(h, s, rng)
+    assert out.shape == (2, 2)
+    # t = 0 cells draw nothing and resolve to 0
+    assert out[0, 0] == 0 and out[1, 1] == 0
+    # off-diagonal cells each drew independently
+    assert 0 <= out[0, 1] <= 100 and 0 <= out[1, 0] <= 100
