@@ -18,6 +18,7 @@ Formatting parity with the reference (`src/io.cxx:141-233`):
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 import numpy as np
@@ -149,7 +150,11 @@ def print_matrix(
             # (src/io.cxx:187-193).
             from phylonium_tpu.model import glibcxx_prng as gp
 
-            grng = gp.Mt19937(gp.splitmix32_words(int(seed), 1248))
+            # parse like the oracle shim's strtoul: leading digits win,
+            # junk means 0, value wraps to u32 (splitmix masks anyway)
+            m = re.match(r"\s*\+?(\d+)", seed)
+            seed_val = int(m.group(1)) if m else 0
+            grng = gp.Mt19937(gp.splitmix32_words(seed_val, 1248))
             for _ in range(cfg.bootstrap):
                 subs = gp.bootstrap_cells(
                     counts.homologs, counts.substitutions, grng
