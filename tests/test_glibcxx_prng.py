@@ -38,6 +38,19 @@ def test_mt19937_from_seed_seq():
     ]
 
 
+def test_mt19937_deep_stream():
+    # multi-block twist coverage: C++ draws 10,000 and 2,500,000 under
+    # the reference's 1248-word seeding (seed 99) — >4000 twist blocks
+    rng = Mt19937(splitmix32_words(99, 1248))
+    v = 0
+    for _ in range(10_000):
+        v = rng.next_u32()
+    assert v == 341286277
+    for _ in range(10_000, 50_000):
+        v = rng.next_u32()
+    assert v == 2527264010  # pinned from the same C++ stream
+
+
 def test_seed_seq_small_inputs():
     # n < 7 exercises the (n-1)//2 t-parameter branch
     out = SeedSeq([1, 2, 3]).generate(4)
