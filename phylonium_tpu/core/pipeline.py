@@ -163,33 +163,17 @@ def map_queries(
                 hv.sort(key=lambda h: h.start())
                 homologies[j] = filter_overlaps_max(hv)
     elif map_backend == "native":
-        # Native backend maps entire batches in C++/OpenMP; a poll
-        # thread relays its atomic per-query counter to the bar.
-        import threading
+        # Native backend maps entire batches in C++/OpenMP; the shared
+        # helper relays its atomic per-query counter to the bar.
+        from phylonium_tpu.core.map_native import map_batch_native
 
-        counter = np.zeros(1, dtype=np.int64)
-        stop = threading.Event()
-
-        def relay():
-            while not stop.wait(0.1):
-                bar.update(done_base + int(counter[0]))
-
-        poller = None
-        if bar.enabled:
-            poller = threading.Thread(
-                target=relay, daemon=True, name="map-progress"
-            )
-            poller.start()
-        try:
-            native_out = ref._native.map_queries(
-                [queries[j].as_array() for j in todo],
-                threshold,
-                progress_out=counter,
-            )
-        finally:
-            stop.set()
-        if poller is not None:
-            poller.join()
+        native_out = map_batch_native(
+            ref._native,
+            [queries[j].as_array() for j in todo],
+            threshold,
+            bar,
+            done_base,
+        )
         for k, j in enumerate(todo):
             homologies[j] = native_out[k]
     else:

@@ -337,6 +337,7 @@ def map_pileup_streamed(
     """
     import os
 
+    from phylonium_tpu.core.map_native import map_batch_native
     from phylonium_tpu.native import build_pileup_native
     from phylonium_tpu.utils.bigalloc import empty as big_empty
     from phylonium_tpu.utils.progress import ProgressBar
@@ -354,38 +355,15 @@ def map_pileup_streamed(
     bar = ProgressBar(
         f"Mapping {n} sequences", n, enabled=cfg.progress_enabled
     )
-    counter = np.zeros(1, dtype=np.int64)
-    stop = threading.Event()
-    base = 0
-
-    def relay():
-        while not stop.wait(0.1):
-            bar.update(base + int(counter[0]))
-
-    poller = None
-    if bar.enabled:
-        poller = threading.Thread(
-            target=relay, daemon=True, name="map-progress"
-        )
-        poller.start()
-    try:
-        for lo in range(0, n, group_rows):
-            hi = min(lo + group_rows, n)
-            batch = [queries[j].as_array() for j in range(lo, hi)]
-            counter[0] = 0
-            base = lo
-            out = ref._native.map_queries(
-                batch, threshold, progress_out=counter
-            )
-            homologies[lo:hi] = out
-            # host rows back the compare race's host leg; the feeder
-            # ships the same group as 2-bit queries + intervals
-            build_pileup_native(batch, out, ref_len, out=states[lo:hi])
-            feeder.feed(batch, out)
-            bar.update(hi)
-    finally:
-        stop.set()
-        if poller is not None:
-            poller.join()
+    for lo in range(0, n, group_rows):
+        hi = min(lo + group_rows, n)
+        batch = [queries[j].as_array() for j in range(lo, hi)]
+        out = map_batch_native(ref._native, batch, threshold, bar, lo)
+        homologies[lo:hi] = out
+        # host rows back the compare race's host leg; the feeder
+        # ships the same group as 2-bit queries + intervals
+        build_pileup_native(batch, out, ref_len, out=states[lo:hi])
+        feeder.feed(batch, out)
+        bar.update(hi)
     bar.finish()
     return homologies, states
