@@ -798,6 +798,21 @@ def prewarm_counts(n: int, ref_len: int, cfg: RunConfig):
     return t
 
 
+def _late_mesh_available(cfg: RunConfig) -> bool:
+    """True when the backend handshake completed (possibly after
+    streaming already started) and exposes a multi-device runtime the
+    mesh path should own.  Non-blocking: a still-wedged handshake reads
+    as 'no mesh' and the streamed/raced single-device plan stands."""
+    from phylonium_tpu.utils.platform import backends_initialized
+
+    if not backends_initialized():
+        return False
+    try:
+        return _mesh_device_count(cfg) > 1
+    except Exception:
+        return False
+
+
 def _should_stream(n: int, ref_len: int, cfg: RunConfig, ref) -> bool:
     """Streamed map→pileup→transfer overlap (core/stream.py) applies to
     the plain 'auto' single-device production path on panels the
@@ -968,6 +983,27 @@ def _compare_and_finish(
     progress = lambda frac: bar.update(int(frac * num_comparisons))  # noqa: E731
 
     t0 = time.time()
+    if (
+        feeder is not None
+        and os.environ.get("PHYLONIUM_TPU_STREAM") != "force"
+        and _late_mesh_available(cfg)
+    ):
+        # the backend handshake completed AFTER _should_stream decided
+        # (docs/ROUND3.md "known limitations"): this runtime exposes a
+        # multi-chip mesh, which beats the single-device resident count
+        # the feeder was shipping toward.  Hand the compare to the
+        # normal production dispatch (mesh, raced/resilient) and stop
+        # the feeder — bit-identical either way.
+        feeder.cancel()
+        LAST_RUN_INFO["stream_handoff"] = "mesh"
+        if cfg.verbose >= 2 or os.environ.get("PHYLONIUM_TPU_DEBUG"):
+            print(
+                "stream: multi-device runtime appeared after streaming "
+                "started; handing the compare to the mesh path",
+                file=sys.stderr,
+            )
+        feeder = None
+
     if feeder is not None:
         # the feeder knows how much of the panel verifiably reached the
         # device during mapping.  If shipping lagged badly, the device

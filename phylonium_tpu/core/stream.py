@@ -355,6 +355,8 @@ def map_pileup_streamed(
     bar = ProgressBar(
         f"Mapping {n} sequences", n, enabled=cfg.progress_enabled
     )
+    forced = os.environ.get("PHYLONIUM_TPU_STREAM") == "force"
+    cancelled = False
     for lo in range(0, n, group_rows):
         hi = min(lo + group_rows, n)
         batch = [queries[j].as_array() for j in range(lo, hi)]
@@ -363,7 +365,18 @@ def map_pileup_streamed(
         # host rows back the compare race's host leg; the feeder
         # ships the same group as 2-bit queries + intervals
         build_pileup_native(batch, out, ref_len, out=states[lo:hi])
-        feeder.feed(batch, out)
+        if not cancelled and not forced:
+            # the backend handshake may complete mid-mapping and reveal
+            # a multi-device runtime: the mesh path will own the compare
+            # (pipeline._compare_and_finish re-checks), so stop burning
+            # link bandwidth on single-device shipping right away
+            from phylonium_tpu.core.pipeline import _late_mesh_available
+
+            if _late_mesh_available(cfg):
+                feeder.cancel()
+                cancelled = True
+        if not cancelled:
+            feeder.feed(batch, out)
         bar.update(hi)
     bar.finish()
     return homologies, states

@@ -273,6 +273,53 @@ def test_lagging_feeder_skips_device_race(tmp_path, monkeypatch, capsys):
     assert out.getvalue() == out2.getvalue()
 
 
+def test_late_backend_hands_off_to_mesh(tmp_path, monkeypatch, capsys):
+    """docs/ROUND3.md known-limitation closed: when the backend
+    handshake completes only after _should_stream already engaged the
+    streamed single-device plan, the pipeline re-checks the device
+    count, cancels the feeder (its finish must never run), and hands
+    the compare to the mesh path — byte-identically."""
+    import jax
+
+    import phylonium_tpu.core.pipeline as pl
+    import phylonium_tpu.core.stream as st
+    from phylonium_tpu.cli import main
+
+    files = _write_panel(tmp_path, 6, 2400, seed=5)
+
+    def run(args):
+        out = io.StringIO()
+        with contextlib.redirect_stdout(out):
+            rc = main(["--progress=never", *args, *files])
+        return rc, out.getvalue()
+
+    monkeypatch.delenv("PHYLONIUM_TPU_STREAM", raising=False)
+    rc0, serial = run([])
+    assert rc0 == 0
+
+    # the "late" half: the backend IS initialized (this call completes
+    # the handshake) with a multi-device runtime...
+    assert len(jax.devices()) > 1
+
+    class NoFinishFeeder(st.DeviceRowFeeder):
+        def finish(self, progress=None):  # pragma: no cover
+            raise AssertionError(
+                "feeder.finish must not run after the mesh handoff"
+            )
+
+    monkeypatch.setattr(st, "DeviceRowFeeder", NoFinishFeeder)
+    # ...but the stream decision was made before it (simulated by
+    # forcing the decision the pre-handshake state would have produced)
+    monkeypatch.setattr(
+        pl, "_should_stream", lambda n, ref_len, cfg, ref: True
+    )
+    rc1, streamed = run(["--mesh", "2,4"])
+    assert rc1 == 0
+    assert streamed == serial
+    assert pl.LAST_RUN_INFO.get("stream_handoff") == "mesh"
+    assert pl.LAST_RUN_INFO.get("compare_carrier") == "mesh"
+
+
 def test_prewarm_stream_shapes(monkeypatch):
     """prewarm_stream compiles the exact chunk layouts the feeder
     produces (smoke: no exceptions for flat + blocked, tail + no-tail)."""
