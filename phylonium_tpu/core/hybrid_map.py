@@ -314,7 +314,26 @@ def hybrid_map_queries(
             )
         return out
 
-    s_dev = jnp.asarray(pad_text(ref.S, "a", _TILE))
+    # PHYLONIUM_TPU_SHARDED_EXTEND=1 splits the doubled index text
+    # across every device of a 1-D mesh (ops/anchor_extend_sharded):
+    # the beyond-HBM index capability, reachable through the CLI via
+    # --map-backend hybrid.  Bit-identical to the single-device op.
+    import os
+
+    shard_mesh = None
+    if os.environ.get("PHYLONIUM_TPU_SHARDED_EXTEND") == "1":
+        import jax
+
+        from phylonium_tpu.ops.anchor_extend_sharded import shard_text
+
+        devices = jax.devices()
+        if len(devices) > 1:
+            shard_mesh = jax.sharding.Mesh(np.array(devices), ("x",))
+            s_shards = shard_text(
+                pad_text(ref.S, "a", _TILE), len(devices), _TILE
+            )
+    if shard_mesh is None:
+        s_dev = jnp.asarray(pad_text(ref.S, "a", _TILE))
     lengths = [len(q) for q in queries]
     bases = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
     qcat = (
@@ -349,9 +368,20 @@ def hybrid_map_queries(
             [bases[k] + machines[k].request[1] for k in batch], np.int32
         )
         lim_b = np.array([bases[k] + lengths[k] for k in batch], np.int32)
-        rows = diagonal_neq(
-            s_dev, q_dev, off_a, off_b, ref.size, lim_b, chunk, tile=_TILE
-        )
+        if shard_mesh is not None:
+            from phylonium_tpu.ops.anchor_extend_sharded import (
+                diagonal_neq_sharded,
+            )
+
+            rows = diagonal_neq_sharded(
+                s_shards, q_dev, off_a, off_b,
+                np.int32(ref.size), lim_b, chunk, shard_mesh, _TILE,
+            )
+        else:
+            rows = diagonal_neq(
+                s_dev, q_dev, off_a, off_b, ref.size, lim_b, chunk,
+                tile=_TILE,
+            )
         for slot, k in enumerate(blocked):
             machines[k].feed(rows[slot])
         active = blocked

@@ -79,3 +79,51 @@ def test_limits_force_mismatch(rng):
         mesh, tile,
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_extension_through_cli(tmp_path, monkeypatch):
+    """PHYLONIUM_TPU_SHARDED_EXTEND=1 routes the hybrid mapper's
+    extension requests through the sharded-text op (index split across
+    every device of a 1-D mesh — the beyond-HBM index path), reachable
+    from the CLI surface and byte-identical to the default run."""
+    import contextlib
+    import io
+
+    import phylonium_tpu.ops.anchor_extend_sharded as aes
+    from phylonium_tpu.cli import main
+
+    rng = np.random.default_rng(17)
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    base = rng.choice(acgt, 4000)
+    files = []
+    for k, p in enumerate([0.0, 0.02, 0.06]):
+        arr = base.copy()
+        idx = rng.random(arr.size) < p
+        arr[idx] = acgt[(arr[idx] + rng.integers(1, 4, int(idx.sum()))) % 4]
+        path = tmp_path / f"g{k}.fasta"
+        path.write_bytes(b">g%d\n" % k + arr.tobytes() + b"\n")
+        files.append(str(path))
+
+    def run(extra):
+        out = io.StringIO()
+        with contextlib.redirect_stdout(out):
+            rc = main(["--progress=never", *extra, *files])
+        return rc, out.getvalue()
+
+    rc0, want = run([])
+    assert rc0 == 0
+
+    calls = []
+    real = aes.diagonal_neq_sharded
+
+    def counting(*a, **k):
+        calls.append(a[0].shape)  # the shard array proves the split
+        return real(*a, **k)
+
+    monkeypatch.setattr(aes, "diagonal_neq_sharded", counting)
+    monkeypatch.setenv("PHYLONIUM_TPU_SHARDED_EXTEND", "1")
+    rc1, got = run(["--map-backend", "hybrid"])
+    assert rc1 == 0
+    assert got == want
+    assert calls, "sharded extension op never ran"
+    assert all(shape[0] > 1 for shape in calls)  # genuinely sharded
