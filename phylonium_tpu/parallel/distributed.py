@@ -172,6 +172,135 @@ def _sharded_counts(
     return fn(states)
 
 
+_HLO_DTYPE_BYTES = {
+    "pred": 1, "u8": 1, "s8": 1, "u16": 2, "s16": 2, "bf16": 2,
+    "f16": 2, "u32": 4, "s32": 4, "f32": 4, "u64": 8, "s64": 8,
+    "f64": 8,
+}
+
+
+def _shape_bytes(shape_text: str) -> int:
+    """Bytes of one HLO shape literal like ``u8[48,512]``."""
+    import re
+
+    m = re.match(r"(\w+)\[([\d,]*)\]", shape_text)
+    if not m:
+        return 0
+    dtype, dims = m.groups()
+    size = _HLO_DTYPE_BYTES.get(dtype, 0)
+    for d in dims.split(","):
+        if d:
+            size *= int(d)
+    return size
+
+
+def collective_bytes(hlo_text: str) -> dict[str, dict[str, int]]:
+    """Per-collective traffic in a compiled HLO module.
+
+    Returns {op: {"out": bytes, "in": bytes, "count": n}} summed over
+    every all-gather / all-reduce / reduce-scatter / all-to-all /
+    collective-permute instruction.  For an all-gather, the bytes a
+    device actually RECEIVES over the interconnect are out - in (its
+    own shard is local).
+    """
+    import re
+
+    ops = (
+        "all-gather", "all-reduce", "reduce-scatter", "all-to-all",
+        "collective-permute",
+    )
+    out: dict[str, dict[str, int]] = {}
+    pat = re.compile(
+        r"=\s+(\([^)]*\)|\w+\[[\d,]*\])\S*\s+(%s)\(([^)]*)\)"
+        % "|".join(ops)
+    )
+    shape_pat = re.compile(r"\w+\[[\d,]*\]")
+    for m in pat.finditer(hlo_text):
+        result, op, operands = m.groups()
+        rec = out.setdefault(op, {"out": 0, "in": 0, "count": 0})
+        rec["count"] += 1
+        rec["out"] += sum(
+            _shape_bytes(s) for s in shape_pat.findall(result)
+        )
+        rec["in"] += sum(
+            _shape_bytes(s) for s in shape_pat.findall(operands)
+        )
+    return out
+
+
+def comm_account(
+    n: int,
+    length: int,
+    mesh: jax.sharding.Mesh,
+    kernel: str | None = None,
+) -> dict:
+    """Predicted vs compiled per-device communication volume for one
+    sharded counting run (no execution — abstract lowering only).
+
+    Prediction (module docstring): the only bulk movement is the
+    'rows'-axis all_gather of genome-block states for this device's
+    column shard — each device RECEIVES (rows-1)/rows * N * Lc bytes,
+    Lc = ceil(L_packed / cols) — plus two [N_loc, N] int32 psums.
+    The measured side parses the compiled HLO's collective
+    instructions, so the account reflects what XLA actually emits.
+    """
+    if kernel is None:
+        platform = next(iter(mesh.devices.flat)).platform
+        kernel = "pallas" if platform == "tpu" else "xla"
+    n_rows = mesh.shape["rows"]
+    n_cols = mesh.shape["cols"]
+    packed = kernel == "pallas"
+    block = 1 << 18
+    if packed:
+        from phylonium_tpu.ops.pallas_match import (
+            _pad_rows,
+            default_block_cols,
+        )
+
+        plen = -(-length // 2)
+        block = max(128, default_block_cols(_pad_rows(n)) // 2)
+    else:
+        plen = length
+    block = int(min(block, 1 << (max(plen // n_cols, 1) - 1).bit_length()))
+    block = max(block, 128)
+    n_pad = n + (-n) % n_rows
+    chunk = n_cols * block
+    l_pad = plen + (-plen) % chunk
+
+    sharding = NamedSharding(mesh, P("rows", "cols"))
+    spec = jax.ShapeDtypeStruct((n_pad, l_pad), np.uint8, sharding=sharding)
+    hlo = (
+        _sharded_counts.lower(
+            spec, mesh, block, n_rows, n_cols, kernel,
+            False, packed,
+        )
+        .compile()
+        .as_text()
+    )
+    measured = collective_bytes(hlo)
+    gather = measured.get("all-gather", {"out": 0, "in": 0})
+    # HLO may print operands as bare %names (no shape): the gathered
+    # output then stands in — a 'rows'-group gather receives
+    # (rows-1)/rows of it over the interconnect, the rest is local
+    recv = (
+        gather["out"] - gather["in"]
+        if gather["in"]
+        else gather["out"] * (n_rows - 1) // max(n_rows, 1)
+    )
+    lc = l_pad // n_cols
+    predicted_gather = (n_rows - 1) * (n_pad // n_rows) * lc
+    predicted_psum = 2 * (n_pad // n_rows) * n_pad * 4
+    return {
+        "mesh": (n_rows, n_cols),
+        "panel": (n, length),
+        "sharded_bytes_per_device": n_pad * l_pad // (n_rows * n_cols),
+        "predicted_gather_recv_bytes": predicted_gather,
+        "measured_gather_recv_bytes": recv,
+        "predicted_psum_bytes": predicted_psum,
+        "measured": measured,
+    }
+
+
 def pair_counts_sharded(
     states: np.ndarray,
     mesh: jax.sharding.Mesh,

@@ -77,7 +77,7 @@ CLI_WORKER = textwrap.dedent(
 )
 
 
-def _launch(script_text, tmp_path, extra_args=()):
+def _launch(script_text, tmp_path, extra_args=(), nprocs=2):
     with socket.socket() as sock:
         sock.bind(("localhost", 0))
         port = sock.getsockname()[1]
@@ -98,13 +98,13 @@ def _launch(script_text, tmp_path, extra_args=()):
             stderr=subprocess.PIPE,
             text=True,
         )
-        for pid in range(2)
+        for pid in range(nprocs)
     ]
     outs = []
     for p in procs:
         try:
             # generous: the 1-core host swings ~10x under contention
-            out, err = p.communicate(timeout=420)
+            out, err = p.communicate(timeout=540)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -248,3 +248,104 @@ def test_two_process_cli_with_shared_checkpoint(tmp_path, rng):
             if not ln.startswith("[Gloo]")
         )
         assert got == expected, f"attempt {attempt} differs"
+
+
+POD_WORKER = textwrap.dedent(
+    """
+    import io, os, sys, contextlib
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    coordinator, pid, tmp = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    jax.distributed.initialize(
+        coordinator_address=coordinator, num_processes=8, process_id=pid
+    )
+    assert jax.device_count() == 8 and jax.process_count() == 8
+
+    from phylonium_tpu.cli import main
+
+    files = sorted(
+        os.path.join(tmp, f) for f in os.listdir(tmp) if f.endswith(".fasta")
+    )
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        rc = main(["-v", "-v", *files])
+    assert rc == 0
+    sys.stdout.write(out.getvalue())
+    sys.stdout.write(f"<<proc {pid} done>>")
+    """
+)
+
+
+def test_eight_process_pod_cli(tmp_path, rng):
+    """The real v5e topology — one process per chip, 8 processes x 1
+    device each — through the full CLI: query-sharded mapping (each
+    process maps 1 of 8), counting over the global (8, 1) mesh, stdout
+    byte-identical to single-process."""
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    base = rng.choice(acgt, 9_000)
+    files = []
+    for k in range(8):
+        arr = base.copy()
+        idx = np.flatnonzero(rng.random(arr.size) < 0.012 * (k + 1))
+        arr[idx] = acgt[(rng.integers(1, 4, idx.size) + arr[idx]) % 4]
+        path = tmp_path / f"g{k}.fasta"
+        path.write_bytes(b">g%d\n" % k + arr.tobytes() + b"\n")
+        files.append(str(path))
+
+    import contextlib
+    import io
+
+    from phylonium_tpu.cli import main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["--count-backend", "numpy", *files]) == 0
+    expected = buf.getvalue()
+
+    outs = _launch(
+        POD_WORKER, tmp_path, extra_args=(str(tmp_path),), nprocs=8
+    )
+    for pid, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"worker {pid} failed:\n{out}\n{err[-2000:]}"
+        assert f"<<proc {pid} done>>" in out
+        assert f"process {pid}/8 mapped 1 of 8 queries locally" in err, err[
+            -2000:
+        ]
+
+    def clean(text, pid):
+        lines = [
+            ln
+            for ln in text.replace(f"<<proc {pid} done>>", "").splitlines(
+                keepends=True
+            )
+            if not ln.startswith("[Gloo]")
+        ]
+        return "".join(lines)
+
+    assert clean(outs[0][1], 0) == expected
+    for pid in range(1, 8):
+        assert clean(outs[pid][1], pid) == ""
+
+
+def test_comm_volume_account():
+    """The compiled HLO's collective traffic matches the N*L/cols
+    prediction exactly for every mesh shape (the communication-volume
+    account promised in parallel/distributed.py)."""
+    import jax
+
+    from phylonium_tpu.parallel.distributed import comm_account
+    from phylonium_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    for shape in [(2, 4), (4, 2), (8, 1), (1, 8)]:
+        acc = comm_account(48, 100_000, make_mesh(shape))
+        assert (
+            acc["measured_gather_recv_bytes"]
+            == acc["predicted_gather_recv_bytes"]
+        ), acc
+        assert acc["measured"].get("all-reduce", {}).get("out", 0) == (
+            acc["predicted_psum_bytes"]
+        ), acc
