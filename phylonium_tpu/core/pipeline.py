@@ -869,6 +869,45 @@ def _should_stream(n: int, ref_len: int, cfg: RunConfig, ref) -> bool:
     return not cpu_pinned()
 
 
+def _should_stream_mp(n: int, ref_len: int, cfg: RunConfig, ref) -> bool:
+    """Streamed resident-shard pipeline for multi-process pod runs
+    (parallel/stream_mp.py): each process maps its contiguous genome
+    block and feeds its own device's shard during mapping; the compare
+    is the usual collective on resident data.  Applies to the plain
+    'auto' path with ONE local device per process (the v5e pod
+    topology); every process evaluates the same deterministic inputs,
+    so the engage decision is collective-consistent."""
+    if not _is_multiprocess():
+        return False
+    env = os.environ.get("PHYLONIUM_TPU_STREAM", "")
+    if env == "0":
+        return False
+    if cfg.count_backend != "auto" or cfg.mesh:
+        return False
+    if cfg.complete_deletion or cfg.print_positions or cfg.checkpoint_dir:
+        return False
+    if cfg.map_backend not in ("auto", "native"):
+        return False
+    if ref.backend_name != "native":
+        return False
+    import jax
+
+    if jax.local_device_count() != 1:
+        return False
+    from phylonium_tpu.core.stream import DEFAULT_GROUP_ROWS
+
+    group = int(
+        os.environ.get("PHYLONIUM_TPU_STREAM_GROUP") or DEFAULT_GROUP_ROWS
+    )
+    if env == "force":
+        return True
+    if n <= group:
+        return False
+    from phylonium_tpu.utils.platform import cpu_pinned
+
+    return not cpu_pinned()
+
+
 def process(
     subject: Sequence, queries: list[Sequence], cfg: RunConfig
 ) -> EvoCounts:
@@ -890,6 +929,32 @@ def process(
 
     if cfg.verbose:
         print(f"ref: {subject.name}", file=sys.stderr)
+
+    if _should_stream_mp(n, len(subject), cfg, ref):
+        from phylonium_tpu.parallel.stream_mp import (
+            map_pileup_count_streamed_mp,
+        )
+
+        t0 = time.time()
+        subs, homs = map_pileup_count_streamed_mp(
+            ref, threshold, queries, cfg
+        )
+        timings["map+feed+compare"] = time.time() - t0
+        _set_carrier("mesh")
+        LAST_RUN_INFO["timings"] = {
+            k: round(v, 3) for k, v in timings.items()
+        }
+        if cfg.verbose >= 2:
+            phases = "  ".join(
+                f"{k}={v:.3f}s" for k, v in timings.items()
+            )
+            print(
+                f"phase timings ({ref.backend_name} index, "
+                f"{cfg.count_backend} counts, mesh carried, pod "
+                f"streamed): {phases}",
+                file=sys.stderr,
+            )
+        return EvoCounts(subs, homs)
 
     feeder = None
     if _should_stream(n, len(subject), cfg, ref):

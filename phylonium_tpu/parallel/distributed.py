@@ -172,6 +172,61 @@ def _sharded_counts(
     return fn(states)
 
 
+def sharded_shape(
+    n: int,
+    length: int,
+    n_rows: int,
+    n_cols: int,
+    kernel: str,
+    block: int | None = None,
+) -> tuple[bool, int, int, int, int]:
+    """Single source of truth for the sharded counting call geometry.
+
+    Returns ``(packed, plen, block, n_pad, l_pad)`` — the nibble-pack
+    decision, packed column count, kernel column block, padded genome
+    count and padded column count — shared by the host-shipped path
+    (:func:`pair_counts_sharded`), the resident-shard streamed path
+    (parallel/stream_mp.py) and the communication account, so the
+    feeder-built shards are bit-compatible with what the collective
+    program expects.
+    """
+    packed = kernel == "pallas"
+    if packed:
+        from phylonium_tpu.ops.pallas_match import (
+            _pad_rows,
+            default_block_cols,
+        )
+
+        plen = -(-max(length, 1) // 2)
+        block = max(128, default_block_cols(_pad_rows(n)) // 2)
+    else:
+        plen = length
+        if block is None:
+            block = 1 << 18
+    block = int(min(block, 1 << (max(plen // n_cols, 1) - 1).bit_length()))
+    block = max(block, 128)
+    n_pad = n + (-n) % n_rows
+    chunk = n_cols * block
+    l_pad = plen + (-plen) % chunk
+    return packed, plen, block, n_pad, l_pad
+
+
+def gathered_counts(m, h, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Collect sharded [N_pad, N_pad]-block (matches, homolog) outputs
+    into full host int64 (substitutions, homologs) matrices."""
+    if not m.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        m = multihost_utils.process_allgather(m, tiled=True)
+        h = multihost_utils.process_allgather(h, tiled=True)
+    m = np.asarray(m, dtype=np.int64)[:n, :n]
+    h = np.asarray(h, dtype=np.int64)[:n, :n]
+    subs = h - m
+    np.fill_diagonal(subs, 0)
+    np.fill_diagonal(h, 0)
+    return subs, h
+
+
 _HLO_DTYPE_BYTES = {
     "pred": 1, "u8": 1, "s8": 1, "u16": 2, "s16": 2, "bf16": 2,
     "f16": 2, "u32": 4, "s32": 4, "f32": 4, "u64": 8, "s64": 8,
@@ -249,23 +304,9 @@ def comm_account(
         kernel = "pallas" if platform == "tpu" else "xla"
     n_rows = mesh.shape["rows"]
     n_cols = mesh.shape["cols"]
-    packed = kernel == "pallas"
-    block = 1 << 18
-    if packed:
-        from phylonium_tpu.ops.pallas_match import (
-            _pad_rows,
-            default_block_cols,
-        )
-
-        plen = -(-length // 2)
-        block = max(128, default_block_cols(_pad_rows(n)) // 2)
-    else:
-        plen = length
-    block = int(min(block, 1 << (max(plen // n_cols, 1) - 1).bit_length()))
-    block = max(block, 128)
-    n_pad = n + (-n) % n_rows
-    chunk = n_cols * block
-    l_pad = plen + (-plen) % chunk
+    packed, plen, block, n_pad, l_pad = sharded_shape(
+        n, length, n_rows, n_cols, kernel
+    )
 
     sharding = NamedSharding(mesh, P("rows", "cols"))
     spec = jax.ShapeDtypeStruct((n_pad, l_pad), np.uint8, sharding=sharding)
@@ -319,33 +360,24 @@ def pair_counts_sharded(
     n, length = states.shape
     n_rows = mesh.shape["rows"]
     n_cols = mesh.shape["cols"]
-    packed = kernel == "pallas"
+    packed, plen, block, n_pad, l_pad = sharded_shape(
+        n, length, n_rows, n_cols, kernel, block
+    )
     if packed:
         # 4-bit pack before sharding: halves both the host->device
         # upload and the 'rows'-axis all_gather.  Column sums are
         # order-invariant, so the split-nibble pairing is exact even
         # though a packed column's two logical columns land on the
         # same shard.
-        from phylonium_tpu.ops.pallas_match import (
-            _PACKED_PAD,
-            _pad_rows,
-            default_block_cols,
-            pack_states,
-        )
+        from phylonium_tpu.ops.pallas_match import _PACKED_PAD, pack_states
 
         states = pack_states(states, n)
-        length = states.shape[1]
-        block = max(128, default_block_cols(_pad_rows(n)) // 2)
         fill = _PACKED_PAD
     else:
         fill = INVALID
 
-    block = int(min(block, 1 << (max(length // n_cols, 1) - 1).bit_length()))
-    block = max(block, 128)
-
-    pad_n = (-n) % n_rows
-    chunk = n_cols * block
-    pad_l = (-length) % chunk
+    pad_n = n_pad - n
+    pad_l = l_pad - states.shape[1]
     if pad_n or pad_l:
         states = np.pad(
             states, ((0, pad_n), (0, pad_l)), constant_values=fill
@@ -364,14 +396,4 @@ def pair_counts_sharded(
         states_dev, mesh, block, n_rows, n_cols, kernel, interpret,
         packed,
     )
-    if not m.is_fully_addressable:
-        from jax.experimental import multihost_utils
-
-        m = multihost_utils.process_allgather(m, tiled=True)
-        h = multihost_utils.process_allgather(h, tiled=True)
-    m = np.asarray(m, dtype=np.int64)[:n, :n]
-    h = np.asarray(h, dtype=np.int64)[:n, :n]
-    subs = h - m
-    np.fill_diagonal(subs, 0)
-    np.fill_diagonal(h, 0)
-    return subs, h
+    return gathered_counts(m, h, n)

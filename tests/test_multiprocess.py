@@ -349,3 +349,66 @@ def test_comm_volume_account():
         assert acc["measured"].get("all-reduce", {}).get("out", 0) == (
             acc["predicted_psum_bytes"]
         ), acc
+
+
+POD_STREAM_WORKER = POD_WORKER.replace(
+    "from phylonium_tpu.cli import main",
+    'os.environ["PHYLONIUM_TPU_STREAM"] = "force"\n'
+    'os.environ["PHYLONIUM_TPU_STREAM_GROUP"] = "1"\n'
+    "from phylonium_tpu.cli import main",
+)
+
+
+def test_eight_process_pod_streamed_cli(tmp_path, rng):
+    """Streaming lifted into multi-process runs (parallel/stream_mp.py):
+    each process maps its CONTIGUOUS row block, feeds its own device's
+    shard during mapping, and the compare runs the collective on the
+    resident shards — full CLI, byte-identical, including processes
+    whose block is pure padding (n=10 over 8 row blocks of 2)."""
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    base = rng.choice(acgt, 9_000)
+    files = []
+    for k in range(10):
+        arr = base.copy()
+        idx = np.flatnonzero(rng.random(arr.size) < 0.01 * (k + 1))
+        arr[idx] = acgt[(rng.integers(1, 4, idx.size) + arr[idx]) % 4]
+        path = tmp_path / f"g{k}.fasta"
+        path.write_bytes(b">g%d\n" % k + arr.tobytes() + b"\n")
+        files.append(str(path))
+
+    import contextlib
+    import io
+
+    from phylonium_tpu.cli import main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["--count-backend", "numpy", *files]) == 0
+    expected = buf.getvalue()
+
+    outs = _launch(
+        POD_STREAM_WORKER, tmp_path, extra_args=(str(tmp_path),), nprocs=8
+    )
+    for pid, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"worker {pid} failed:\n{out}\n{err[-2000:]}"
+        assert f"<<proc {pid} done>>" in out
+        lo = min(pid * 2, 10)
+        hi = min(lo + 2, 10)
+        assert (
+            f"pod stream: process {pid}/8 mapped+fed rows "
+            f"[{pid * 2}, {hi}) of 10" in err
+        ), err[-2000:]
+
+    def clean(text, pid):
+        lines = [
+            ln
+            for ln in text.replace(f"<<proc {pid} done>>", "").splitlines(
+                keepends=True
+            )
+            if not ln.startswith("[Gloo]")
+        ]
+        return "".join(lines)
+
+    assert clean(outs[0][1], 0) == expected
+    for pid in range(1, 8):
+        assert clean(outs[pid][1], pid) == ""
