@@ -395,6 +395,21 @@ def main(argv: list[str] | None = None) -> int:
         else:
             set_threads(cfg.threads)
 
+    # device-bound big panels: ship 2-bit query codes DURING the read
+    # phase (core/query_ship.py) — the link is the wall for device
+    # counting, and read+index seconds were dead time on it.  Gated on
+    # measured link bandwidth + file sizes; best-effort (a failed
+    # shipper reverts to feed-time shipping, bit-identically).
+    from phylonium_tpu.core.query_ship import early_ship_eligible
+
+    if early_ship_eligible(cfg, file_names):
+        try:
+            from phylonium_tpu.core.query_ship import QueryShipper
+
+            cfg._query_shipper = QueryShipper(len(file_names))
+        except Exception:
+            cfg._query_shipper = None
+
     try:
         # parallel file reading, the analogue of the reference's
         # omp-parallel read loop (src/phylonium.cxx:272-275)
@@ -402,9 +417,12 @@ def main(argv: list[str] | None = None) -> int:
 
         workers = cfg.threads or min(8, len(file_names))
         with ThreadPoolExecutor(max_workers=max(workers, 1)) as pool:
-            queries = [
-                join(g) for g in pool.map(read_genome, file_names)
-            ]
+            queries = []
+            for g in pool.map(read_genome, file_names):
+                q = join(g)
+                queries.append(q)
+                if cfg._query_shipper is not None:
+                    cfg._query_shipper.add(q.as_array())
     except OSError as e:
         # err(errno, ...)-style failure (src/io.cxx:73-74)
         print(f"{PROG}: {e.filename}: {e.strerror}", file=sys.stderr)
@@ -447,6 +465,11 @@ def main(argv: list[str] | None = None) -> int:
                 import jax
 
                 jax.devices()
+                # shake the tunnel's first-transfer penalty off the
+                # critical path (core/query_ship.warm_link)
+                from phylonium_tpu.core.query_ship import warm_link
+
+                warm_link()
             except Exception:
                 pass
 

@@ -86,6 +86,12 @@ class RunConfig:
     profile_dir: str = ""  # write a jax.profiler trace here
     return_code: int = 0
     _progress_enabled: bool | None = field(default=None, repr=False)
+    # runtime handle: the CLI's early query shipper
+    # (core/query_ship.QueryShipper), set while reading so 2-bit query
+    # codes ship to the device before the pipeline even starts
+    _query_shipper: object | None = field(
+        default=None, repr=False, compare=False
+    )
 
     def soft_error(self, msg: str) -> None:
         self.return_code |= 1

@@ -433,11 +433,27 @@ def _resilient_device_counts(device_fn, states, cfg, progress, label):
     return pair_counts_host(states, progress=progress)
 
 
+# fixed tail of a resident device compare: result fetch + the dispatch
+# round trips that remain even when the whole panel is already on the
+# device (measured 0.5-1.5 s on the tunnelled deployment)
+_DEVICE_TAIL_S = 1.5
+
+
 def _auto_prefers_host(n: int, ref_len: int, cfg: RunConfig) -> bool:
-    """Small-panel fast path: with 'auto' counting, panels below the
-    work threshold never touch the device runtime at all (no backend
-    handshake, no kernel trace, no transfer — each of which costs
-    seconds and, on few-core hosts, steals CPU from the mapping phase).
+    """Small-panel fast path: with 'auto' counting, panels whose host
+    compare is predicted to beat the device path never touch the device
+    runtime at all (no backend handshake, no kernel trace, no transfer
+    — each of which costs seconds and, on few-core hosts, steals CPU
+    from the mapping phase).
+
+    The prediction is MEASURED when possible: once a verified link
+    bandwidth exists (utils/calibration.py, recorded by earlier runs'
+    sync-probed transfers), the decision compares predicted host
+    compare time against predicted serial ship+kernel time — the
+    decisive ratio is N/(2b)*bandwidth and the bandwidth swings 1-38
+    MB/s, so no static Gbp constant can be right across windows.
+    Before the first measurement (or under an explicit
+    PHYLONIUM_TPU_AUTO_DEVICE_GBP) the static work threshold decides.
     Explicit backends, --mesh, and multi-process runs always take their
     requested path."""
     if cfg.count_backend != "auto" or cfg.mesh:
@@ -445,7 +461,50 @@ def _auto_prefers_host(n: int, ref_len: int, cfg: RunConfig) -> bool:
     if _is_multiprocess():
         return False
     work_gbp = n * (n - 1) / 2 * ref_len / 1e9
+    if not os.environ.get("PHYLONIUM_TPU_AUTO_DEVICE_GBP"):
+        from phylonium_tpu.utils import calibration
+
+        link = calibration.link_mb_s()
+        if link is not None:
+            t_host = work_gbp / calibration.host_compare_gbps()
+            # serial path ships the nibble-packed panel (N*L/2 bytes)
+            # unhidden at compare time
+            t_dev = n * ref_len / 2 / 1e6 / link + _DEVICE_TAIL_S
+            LAST_RUN_INFO["dispatch_model"] = {
+                "link_mb_s": round(link, 2),
+                "t_host_s": round(t_host, 3),
+                "t_device_s": round(t_dev, 3),
+            }
+            return t_host < t_dev
     return work_gbp < cfg.auto_device_min_gbp
+
+
+def _stream_predicts_win(n: int, ref_len: int, cfg: RunConfig):
+    """Measured-link prediction whether a STREAMED device compare beats
+    the host compare: the 2-bit query panel (N*L/4 bytes) ships hidden
+    under the mapping window, so the device pays only the unhidden ship
+    remainder plus the fixed tail.  Returns None when no link
+    measurement exists (caller falls back to the static threshold) or
+    an explicit PHYLONIUM_TPU_AUTO_DEVICE_GBP pins the static rule."""
+    if os.environ.get("PHYLONIUM_TPU_AUTO_DEVICE_GBP"):
+        return None
+    from phylonium_tpu.utils import calibration
+
+    link = calibration.link_mb_s()
+    if link is None:
+        return None
+    work_gbp = n * (n - 1) / 2 * ref_len / 1e9
+    t_host = work_gbp / calibration.host_compare_gbps()
+    total_bp = n * ref_len
+    ship_s = total_bp / 4 / (link * 1e6)
+    overlap_s = total_bp / (calibration.map_gbps() * 1e9)
+    unhidden = max(0.0, ship_s - overlap_s)
+    LAST_RUN_INFO["stream_model"] = {
+        "link_mb_s": round(link, 2),
+        "t_host_s": round(t_host, 3),
+        "unhidden_ship_s": round(unhidden, 3),
+    }
+    return unhidden + _DEVICE_TAIL_S < t_host
 
 
 def _dispatch_devices():
@@ -746,7 +805,10 @@ def prewarm_counts(n: int, ref_len: int, cfg: RunConfig):
     # it gets the prewarm as well
     if cfg.count_backend not in ("auto", "pallas", "device"):
         return None
-    if _auto_prefers_host(n, ref_len, cfg):
+    if _auto_prefers_host(n, ref_len, cfg) and not (
+        getattr(cfg, "_query_shipper", None) is not None
+        or _stream_predicts_win(n, ref_len, cfg)
+    ):
         return None  # panel stays on the host; don't spin up the device
 
     def work():
@@ -830,11 +892,9 @@ def _should_stream(n: int, ref_len: int, cfg: RunConfig, ref) -> bool:
         return False
     if cfg.count_backend != "auto" or cfg.mesh:
         return False
-    from phylonium_tpu.core.stream import DEFAULT_GROUP_ROWS
+    from phylonium_tpu.core.stream import effective_group_rows
 
-    group = int(
-        os.environ.get("PHYLONIUM_TPU_STREAM_GROUP") or DEFAULT_GROUP_ROWS
-    )
+    group = effective_group_rows(n)
     if n <= group and env != "force":
         # a single feed group only finishes mapping when mapping is
         # over — nothing can overlap, shipped_fraction is 0 by
@@ -851,8 +911,20 @@ def _should_stream(n: int, ref_len: int, cfg: RunConfig, ref) -> bool:
         return False
     if env == "force":
         return True
-    if _auto_prefers_host(n, ref_len, cfg):
-        return False
+    shipper = getattr(cfg, "_query_shipper", None)
+    if shipper is not None and not shipper._cancelled:
+        # the CLI's early-ship gate already decided (with measured link
+        # bandwidth and actual file sizes) that this panel's device
+        # compare is worth the link+CPU spend — and the 2-bit codes are
+        # already shipping; bailing out here would waste them
+        pass
+    else:
+        win = _stream_predicts_win(n, ref_len, cfg)
+        if win is None:
+            if _auto_prefers_host(n, ref_len, cfg):
+                return False
+        elif not win:
+            return False
     # every remaining check avoids jax.devices(): the backend handshake
     # can block for seconds and belongs on the prewarm thread, not in
     # the pipeline's critical path.  Device count only matters once the
@@ -894,14 +966,11 @@ def _should_stream_mp(n: int, ref_len: int, cfg: RunConfig, ref) -> bool:
 
     if jax.local_device_count() != 1:
         return False
-    from phylonium_tpu.core.stream import DEFAULT_GROUP_ROWS
+    from phylonium_tpu.core.stream import effective_group_rows
 
-    group = int(
-        os.environ.get("PHYLONIUM_TPU_STREAM_GROUP") or DEFAULT_GROUP_ROWS
-    )
     if env == "force":
         return True
-    if n <= group:
+    if n <= effective_group_rows(n):
         return False
     from phylonium_tpu.utils.platform import cpu_pinned
 
@@ -916,6 +985,16 @@ def process(
     LAST_RUN_INFO.clear()
     timings: dict[str, float] = {}
     n = len(queries)
+
+    if cfg.count_backend == "auto" and not cfg.mesh:
+        # the estimates this run's dispatch decisions act on (None
+        # before the first measured transfer) — run-report observability
+        try:
+            from phylonium_tpu.utils import calibration
+
+            LAST_RUN_INFO["calibration"] = calibration.snapshot()
+        except Exception:
+            pass
 
     # start compiling the counting kernel while the host builds the index
     # and maps queries (shapes are fixed by (n, |subject|) via bucketing)
@@ -956,6 +1035,7 @@ def process(
             )
         return EvoCounts(subs, homs)
 
+    shipper = getattr(cfg, "_query_shipper", None)
     feeder = None
     if _should_stream(n, len(subject), cfg, ref):
         from phylonium_tpu.core.stream import (
@@ -970,17 +1050,31 @@ def process(
             from phylonium_tpu.utils.platform import cpu_pinned
 
             feeder = DeviceRowFeeder(
-                n, len(subject), interpret=cpu_pinned()
+                n, len(subject), interpret=cpu_pinned(), shipper=shipper
             )
         except Exception:
             feeder = None  # feeder construction is best-effort
 
+    if feeder is None and shipper is not None:
+        # the run went elsewhere (host dispatch, mesh, a non-streamable
+        # late condition): stop spending link bandwidth on query codes
+        # nobody will count on
+        shipper.cancel()
+
     if feeder is not None:
+        from phylonium_tpu.utils import calibration
+
         t0 = time.time()
         homologies, states = map_pileup_streamed(
             ref, threshold, queries, cfg, feeder
         )
-        timings["map+pileup+feed"] = time.time() - t0
+        t_map = time.time() - t0
+        timings["map+pileup+feed"] = t_map
+        # the measured overlap window (mapping with the feed's CPU
+        # steal folded in) — exactly what the early-ship gate predicts
+        calibration.record_map(
+            sum(len(q) for q in queries) / 1e9, t_map
+        )
         return _compare_and_finish(
             subject, queries, cfg, ref, states, homologies, timings,
             feeder,
@@ -989,6 +1083,17 @@ def process(
     t0 = time.time()
     homologies = map_queries(ref, threshold, queries, cfg)
     timings["map"] = time.time() - t0
+    if (
+        cfg.map_backend in ("auto", "native")
+        and ref.backend_name == "native"
+        and not cfg.checkpoint_dir  # partial mapping skews the rate
+        and not _is_multiprocess()  # each process maps only its shard
+    ):
+        from phylonium_tpu.utils import calibration
+
+        calibration.record_map(
+            sum(len(q) for q in queries) / 1e9, timings["map"]
+        )
 
     if cfg.complete_deletion:
         homologies = complete_delete(homologies)
@@ -1096,6 +1201,21 @@ def _compare_and_finish(
         subs, homs = pair_counts(states, cfg, progress=progress)
     timings["compare"] = time.time() - t0
     bar.finish()
+
+    if feeder is not None and feeder._shipper is not None:
+        mb_s = feeder._shipper.achieved_mb_s()
+        LAST_RUN_INFO["early_ship"] = {
+            "groups": feeder._shipper.shipped_groups(),
+            "mb": round(feeder._shipper.shipped_bytes() / 1e6, 1),
+            "mb_s": round(mb_s, 2) if mb_s else None,
+        }
+
+    if LAST_RUN_INFO.get("compare_carrier") == "host":
+        from phylonium_tpu.utils import calibration
+
+        calibration.record_host_compare(
+            n * (n - 1) / 2 * states.shape[1] / 1e9, timings["compare"]
+        )
 
     LAST_RUN_INFO["timings"] = {k: round(v, 3) for k, v in timings.items()}
     if cfg.verbose >= 2:

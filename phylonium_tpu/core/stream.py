@@ -22,6 +22,7 @@ degrades to the host result instead of failing the run.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 
@@ -35,6 +36,20 @@ from phylonium_tpu.index.esa import ESAIndex
 # costs (~0.2 s each on the tunnel) stay negligible, small enough to
 # start shipping early in the mapping phase
 DEFAULT_GROUP_ROWS = 128
+
+
+def effective_group_rows(n: int) -> int:
+    """Feeding-group size for an ``n``-genome panel: the 128-row default
+    capped so every panel splits into at least ~4 groups (a single
+    group would finish mapping exactly when mapping ends — nothing to
+    overlap; observed at the 116-genome tier, which the fixed default
+    silently excluded from streaming).  The 8-row floor keeps per-group
+    fixed costs (~0.2 s per device_put round trip) amortized.
+    ``PHYLONIUM_TPU_STREAM_GROUP`` pins an explicit size."""
+    env = os.environ.get("PHYLONIUM_TPU_STREAM_GROUP")
+    if env:
+        return int(env)
+    return min(DEFAULT_GROUP_ROWS, max(8, -(-n // 4)))
 
 
 def _sync_probe_fn(x):
@@ -95,13 +110,19 @@ class DeviceRowFeeder:
         # with zero device-side padding ops
         self.width = bucket_cols(l2, self.block) if l2 <= cap else l2
 
-    def __init__(self, n: int, ref_len: int, interpret: bool = False):
+    def __init__(
+        self, n: int, ref_len: int, interpret: bool = False, shipper=None
+    ):
         from phylonium_tpu.utils.cache import enable_compile_cache
         from phylonium_tpu.utils.platform import ensure_device_plugin
 
         ensure_device_plugin()  # device chokepoint (idempotent)
         enable_compile_cache()
         self._init_shapes(n, ref_len, interpret)
+        # early query shipper (core/query_ship.py): groups whose 2-bit
+        # codes already shipped during the read/index phases need only
+        # their interval records here
+        self._shipper = shipper
         self._rows_done = 0
         self._chunks: list = []
         self._shipped = 0
@@ -139,13 +160,21 @@ class DeviceRowFeeder:
                     if item is None:
                         stopping = True
                     else:
-                        queries, homologies, pad_rows = item
+                        lo, queries, homologies, pad_rows = item
                         try:
                             if self._error is None and not self._gave_up:
+                                resident = (
+                                    self._shipper.take(
+                                        lo, lo + len(queries)
+                                    )
+                                    if self._shipper is not None
+                                    else None
+                                )
                                 chunk = build_packed_rows_device(
                                     queries, homologies, self.ref_len,
                                     self.l2, self.width,
                                     pad_rows=pad_rows,
+                                    resident=resident,
                                 )
                                 self._chunks.append(chunk)
                                 pending.append(chunk)
@@ -187,6 +216,7 @@ class DeviceRowFeeder:
         byte arrays and their (filtered, disjoint) homologies, in
         order."""
         rows = len(queries)
+        lo = self._rows_done
         self._rows_done += rows
         pad_rows = 0
         if self.flat and self._rows_done >= self.n:
@@ -194,7 +224,7 @@ class DeviceRowFeeder:
             # device concat is exactly the one-shot packed array
             pad_rows = self.n_pad - self._rows_done
         self._enqueued += 1
-        self._q.put((queries, homologies, pad_rows))
+        self._q.put((lo, queries, homologies, pad_rows))
 
     def finish(self, progress=None) -> tuple[np.ndarray, np.ndarray]:
         """Block until every group is shipped, then count on device —
@@ -237,6 +267,8 @@ class DeviceRowFeeder:
         host path needs) and let the worker drain out."""
         self._gave_up = True
         self._closed = True
+        if self._shipper is not None:
+            self._shipper.cancel()  # already-verified groups stay usable
         try:
             self._q.put(None)
         except Exception:
@@ -269,10 +301,7 @@ def prewarm_stream(
     from phylonium_tpu.ops.pileup_device import _bucket, _build_packed
 
     if group_rows is None:
-        group_rows = int(
-            os.environ.get("PHYLONIUM_TPU_STREAM_GROUP")
-            or DEFAULT_GROUP_ROWS
-        )
+        group_rows = effective_group_rows(n)
     probe = DeviceRowFeeder.__new__(DeviceRowFeeder)
     DeviceRowFeeder._init_shapes(probe, n, ref_len, False)
 
@@ -343,10 +372,7 @@ def map_pileup_streamed(
     from phylonium_tpu.utils.progress import ProgressBar
 
     if group_rows is None:
-        group_rows = int(
-            os.environ.get("PHYLONIUM_TPU_STREAM_GROUP")
-            or DEFAULT_GROUP_ROWS
-        )
+        group_rows = effective_group_rows(len(queries))
     n = len(queries)
     ref_len = len(ref.subject)
     states = big_empty((n, ref_len), np.uint8)

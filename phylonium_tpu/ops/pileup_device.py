@@ -228,6 +228,25 @@ def _bucket(n: int, lo: int = 128) -> int:
 _MAX_GROUP_BASES = 1 << 31
 
 
+def padded_pack(queries: list[np.ndarray]):
+    """2-bit-pack a query group at the device call's bucketed shapes.
+
+    Returns (packed uint8, sep_idx int64, bases int64) with packed and
+    sep_idx padded exactly as ``_build_packed``/``_build`` consume them
+    — the single definition both the streamed feeder and the early
+    query shipper (core/query_ship.py) use, so a group shipped during
+    the read phase is bit-identical to one packed at feed time.
+    """
+    packed, sep_idx, bases = pack_queries(queries)
+    packed = np.pad(packed, (0, _bucket(len(packed)) - len(packed)))
+    # pad separators with an out-of-range index (scatter mode='drop')
+    s_pad = _bucket(len(sep_idx)) - len(sep_idx)
+    sep_idx = np.pad(
+        sep_idx, (0, s_pad), constant_values=4 * len(packed)
+    )
+    return packed, sep_idx, bases
+
+
 def build_packed_rows_device(
     queries: list[np.ndarray],
     homologies: list[list[Homology]],
@@ -235,6 +254,7 @@ def build_packed_rows_device(
     l2: int,
     out_width: int,
     pad_rows: int = 0,
+    resident=None,
 ):
     """One streamed row group: ship 2-bit-packed queries + interval
     records (~L/4 bytes per genome — half the nibble-states volume) and
@@ -245,6 +265,11 @@ def build_packed_rows_device(
     flat kernel's row padding).  Bit-identical to
     ``pack_states(host_rows, n + pad_rows, out_width)`` — asserted in
     tests/test_stream.py.
+
+    ``resident`` (optional) is a (packed_dev, sep_dev, bases) triple for
+    THIS group, already on device (shipped during the read/index phases
+    by core/query_ship.QueryShipper): only the interval records ship
+    here, and the same cached program runs on the resident arrays.
     """
     limit = _MAX_GROUP_BASES - 2 * ref_len - 1
     if queries and sum(len(q) for q in queries) > limit:
@@ -252,14 +277,12 @@ def build_packed_rows_device(
             "device pileup group exceeds int32 indexing; use smaller "
             "row groups"
         )
-    packed, sep_idx, bases = pack_queries(queries)
+    if resident is not None:
+        packed, sep_idx, bases = resident
+    else:
+        packed, sep_idx, bases = padded_pack(queries)
     intervals = intervals_from_homologies(homologies, bases, ref_len)
 
-    packed = np.pad(packed, (0, _bucket(len(packed)) - len(packed)))
-    s_pad = _bucket(len(sep_idx)) - len(sep_idx)
-    sep_idx = np.pad(
-        sep_idx, (0, s_pad), constant_values=4 * len(packed)
-    )
     hmax = intervals.shape[1]
     h_pad = _bucket(hmax, lo=16) - hmax
     rows = intervals.shape[0] + pad_rows
@@ -333,15 +356,9 @@ def build_pileup_device(
         ]
         return jnp.concatenate(groups, axis=0)
 
-    packed, sep_idx, bases = pack_queries(queries)
+    packed, sep_idx, bases = padded_pack(queries)
     intervals = intervals_from_homologies(homologies, bases, ref_len)
 
-    packed = np.pad(packed, (0, _bucket(len(packed)) - len(packed)))
-    # pad separators with an out-of-range index (scatter mode='drop')
-    s_pad = _bucket(len(sep_idx)) - len(sep_idx)
-    sep_idx = np.pad(
-        sep_idx, (0, s_pad), constant_values=4 * len(packed)
-    )
     hmax = intervals.shape[1]
     h_pad = _bucket(hmax, lo=16) - hmax
     if h_pad:

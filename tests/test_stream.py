@@ -320,6 +320,106 @@ def test_late_backend_hands_off_to_mesh(tmp_path, monkeypatch, capsys):
     assert pl.LAST_RUN_INFO.get("compare_carrier") == "mesh"
 
 
+def test_query_shipper_groups_bit_identical(rng, monkeypatch):
+    """Groups shipped at read time are bit-identical to feed-time packs
+    (same pack+pad helper), and the feeder's counts on resident groups
+    match the numpy oracle."""
+    from phylonium_tpu.core.query_ship import QueryShipper
+    from phylonium_tpu.ops.pileup_device import padded_pack
+
+    n, length = 13, 900
+    queries, homologies = _panel(rng, n, length)
+    monkeypatch.setenv("PHYLONIUM_TPU_STREAM_GROUP", "5")
+    shipper = QueryShipper(n)
+    assert shipper.group_rows == 5
+    for q in queries:
+        shipper.add(q)
+    # groups: [0,5) [5,10) [10,13) — take() waits for in-flight groups
+    for lo in (0, 5, 10):
+        hi = min(lo + 5, n)
+        got = shipper.take(lo, hi)
+        assert got is not None
+        packed, sep, bases = got
+        ep, es, eb = padded_pack(queries[lo:hi])
+        np.testing.assert_array_equal(np.asarray(packed), ep)
+        np.testing.assert_array_equal(np.asarray(sep), es)
+        np.testing.assert_array_equal(bases, eb)
+    # boundary mismatches hand back None (feeder ships itself)
+    assert shipper.take(1, 6) is None
+    assert shipper.take(5, 9) is None
+    assert shipper.shipped_groups() == 3
+    assert shipper.shipped_bytes() > 0
+
+    subs, homs = _feed_all(
+        queries, homologies, length, [5, 5, 3], shipper=shipper
+    )
+    states = build_pileup(queries, homologies, length)
+    es, eh = pair_counts_numpy(states)
+    np.testing.assert_array_equal(subs, es)
+    np.testing.assert_array_equal(homs, eh)
+
+
+def test_query_shipper_cancel_mid_run(rng, monkeypatch):
+    """A cancelled shipper stops accepting groups; the feeder falls
+    back to feed-time shipping and counts stay exact."""
+    from phylonium_tpu.core.query_ship import QueryShipper
+
+    n, length = 10, 700
+    queries, homologies = _panel(rng, n, length)
+    monkeypatch.setenv("PHYLONIUM_TPU_STREAM_GROUP", "4")
+    shipper = QueryShipper(n)
+    for q in queries[:4]:
+        shipper.add(q)
+    assert shipper.take(0, 4) is not None
+    shipper.cancel()
+    for q in queries[4:]:
+        shipper.add(q)  # ignored after cancel
+    assert shipper.take(4, 8) is None
+    # verified groups stay usable after cancel (pass-2 reuse)
+    assert shipper.take(0, 4) is not None
+
+    subs, homs = _feed_all(
+        queries, homologies, length, [4, 4, 2], shipper=shipper
+    )
+    states = build_pileup(queries, homologies, length)
+    es, eh = pair_counts_numpy(states)
+    np.testing.assert_array_equal(subs, es)
+    np.testing.assert_array_equal(homs, eh)
+
+
+def test_early_shipped_cli_byte_identical(tmp_path, monkeypatch):
+    """The full early-ship pipeline through the CLI: force engages the
+    read-loop shipper (early_ship_eligible), groups ship during read,
+    the feeder reuses them, stdout stays byte-identical to serial."""
+    import phylonium_tpu.core.pipeline as pl
+    from phylonium_tpu.cli import main
+
+    files = _write_panel(tmp_path, 9, 2400, seed=17)
+
+    def run():
+        out = io.StringIO()
+        with contextlib.redirect_stdout(out):
+            rc = main(["--progress=never", *files])
+        return rc, out.getvalue()
+
+    monkeypatch.setenv("PHYLONIUM_TPU_STREAM", "0")
+    rc0, serial = run()
+    assert rc0 == 0
+
+    monkeypatch.setenv("PHYLONIUM_TPU_STREAM", "force")
+    monkeypatch.setenv("PHYLONIUM_TPU_STREAM_GROUP", "4")
+    rc1, streamed = run()
+    assert rc1 == 0
+    assert streamed == serial
+    early = pl.LAST_RUN_INFO.get("early_ship")
+    # the shipper was wired through (groups is timing-dependent on a
+    # tiny panel: the worker's jax import can lose the race to the
+    # whole sub-second pipeline, in which case the compare legitimately
+    # cancels it at 0 — resident-group consumption is asserted
+    # deterministically in test_query_shipper_groups_bit_identical)
+    assert early is not None and 0 <= early["groups"] <= 3
+
+
 def test_prewarm_stream_shapes(monkeypatch):
     """prewarm_stream compiles the exact chunk layouts the feeder
     produces (smoke: no exceptions for flat + blocked, tail + no-tail)."""
