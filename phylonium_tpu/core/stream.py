@@ -28,7 +28,7 @@ import threading
 
 import numpy as np
 
-from phylonium_tpu.config import RunConfig
+from phylonium_tpu.config import ConfigError, RunConfig
 from phylonium_tpu.core.homology import Homology
 from phylonium_tpu.index.esa import ESAIndex
 
@@ -113,11 +113,18 @@ class DeviceRowFeeder:
     def __init__(
         self, n: int, ref_len: int, interpret: bool = False, shipper=None
     ):
-        from phylonium_tpu.utils.cache import enable_compile_cache
-        from phylonium_tpu.utils.platform import ensure_device_plugin
+        from phylonium_tpu.serve.client import devd_enabled
 
-        ensure_device_plugin()  # device chokepoint (idempotent)
-        enable_compile_cache()
+        # device-server transport (serve/): the daemon's warm resident
+        # session replaces this process's jax session — no in-process
+        # backend, no per-process first-execution penalty
+        self._devd = devd_enabled()
+        if not self._devd:
+            from phylonium_tpu.utils.cache import enable_compile_cache
+            from phylonium_tpu.utils.platform import ensure_device_plugin
+
+            ensure_device_plugin()  # device chokepoint (idempotent)
+            enable_compile_cache()
         self._init_shapes(n, ref_len, interpret)
         # early query shipper (core/query_ship.py): groups whose 2-bit
         # codes already shipped during the read/index phases need only
@@ -134,8 +141,15 @@ class DeviceRowFeeder:
         # copies), and a degraded tunnel window must stall the worker
         # only — never the mapping loop behind a full queue
         self._q: queue.Queue = queue.Queue()
+        self._run_id = (
+            shipper.run_id
+            if shipper is not None
+            else f"feeder-{id(self):x}"
+        )
         self._worker = threading.Thread(
-            target=self._drain, daemon=True, name="row-feeder"
+            target=self._drain_devd if self._devd else self._drain,
+            daemon=True,
+            name="row-feeder",
         )
         self._worker.start()
 
@@ -170,6 +184,11 @@ class DeviceRowFeeder:
                                     if self._shipper is not None
                                     else None
                                 )
+                                if not isinstance(resident, tuple):
+                                    # a DevdGroup (daemon-resident) is
+                                    # unreachable from the in-process
+                                    # session; re-ship locally
+                                    resident = None
                                 chunk = build_packed_rows_device(
                                     queries, homologies, self.ref_len,
                                     self.l2, self.width,
@@ -206,6 +225,86 @@ class DeviceRowFeeder:
                         self._error = e
             elif stopping:
                 return
+
+    def _drain_devd(self) -> None:
+        """Worker loop over the device-server transport: intervals (and
+        packed codes, unless the query shipper already parked them in
+        the daemon) cross a local socket; the daemon builds each chunk
+        in its warm session and replies only after verifying residency
+        — so the reply itself IS the shipped signal, and the per-group
+        double buffering of the in-process path is unnecessary."""
+        from phylonium_tpu.core.query_ship import DevdGroup
+        from phylonium_tpu.ops.pileup_device import (
+            build_overlay,
+            group_payload,
+            prep_intervals,
+        )
+
+        try:
+            from phylonium_tpu.serve.client import get_client
+
+            client = get_client()
+        except Exception as e:  # noqa: BLE001 — surfaced at finish()
+            client = None
+            if self._error is None:
+                self._error = e
+        while True:
+            item = self._q.get()
+            try:
+                if item is None:
+                    return
+                lo, queries, homologies, pad_rows = item
+                if (
+                    client is None
+                    or self._error is not None
+                    or self._gave_up
+                ):
+                    continue
+                resident = (
+                    self._shipper.take(lo, lo + len(queries))
+                    if self._shipper is not None
+                    else None
+                )
+                header = {
+                    "op": "group",
+                    "run": self._run_id,
+                    "seq": lo,
+                    "ref_len": self.ref_len,
+                    "l2": self.l2,
+                    "width": self.width,
+                }
+                from phylonium_tpu.ops.pileup_device import (
+                    _MAX_GROUP_BASES,
+                )
+
+                limit = _MAX_GROUP_BASES - 2 * self.ref_len - 1
+                if sum(len(q) for q in queries) > limit:
+                    raise ConfigError(
+                        "device pileup group exceeds int32 indexing; "
+                        "use smaller row groups"
+                    )
+                if isinstance(resident, DevdGroup):
+                    header["gidx"] = resident.gidx
+                    bases, seps = resident.bases, resident.seps
+                    extra = []
+                else:
+                    packed, bases, seps = group_payload(queries)
+                    extra = [packed]
+                intervals = prep_intervals(
+                    homologies, bases, self.ref_len, pad_rows
+                )
+                orow, ocol, oval = build_overlay(
+                    intervals, queries, bases, seps, self.ref_len
+                )
+                client.request(
+                    header, [intervals, orow, ocol, oval, *extra]
+                )
+                self._shipped += 1
+            except BaseException as e:  # noqa: BLE001
+                if self._error is None:
+                    self._error = e  # raised in finish()
+            finally:
+                self._q.task_done()
 
     def shipped_fraction(self) -> float:
         """Fraction of enqueued groups verifiably resident on device."""
@@ -250,6 +349,21 @@ class DeviceRowFeeder:
             raise RuntimeError(
                 f"feeder got {self._rows_done} rows for {self.n} genomes"
             )
+        if self._devd:
+            from phylonium_tpu.serve.client import get_client
+
+            reply, (subs, homs) = get_client().request(
+                {
+                    "op": "finish",
+                    "run": self._run_id,
+                    "n": self.n,
+                    "flat": self.flat,
+                    "block": self.block,
+                }
+            )
+            if progress is not None:
+                progress(1.0)
+            return subs, homs
         chunks = tuple(self._chunks)
         if self.flat:
             return flat_counts_device(
@@ -319,14 +433,18 @@ def prewarm_stream(
         # a padded last group ships fewer real genomes than its rows
         bases = real * ref_len
         packed = jax.ShapeDtypeStruct(
-            (_bucket(-(-bases // 4)),), u8
+            (_bucket(-(-bases // 4)) // 4,), jnp.uint32
         )
-        seps = jax.ShapeDtypeStruct((_bucket(0),), jnp.int64)
         ivals = jax.ShapeDtypeStruct(
             (rows, _bucket(1, lo=16), 4), jnp.int64
         )
+        ob = _bucket(0, lo=16)
+        orow = jax.ShapeDtypeStruct((ob,), jnp.int32)
+        ocol = jax.ShapeDtypeStruct((ob,), jnp.int32)
+        oval = jax.ShapeDtypeStruct((ob,), u8)
         _build_packed.lower(
-            packed, seps, ivals, ref_pad, probe.l2, probe.width
+            packed, ivals, orow, ocol, oval,
+            ref_pad, probe.l2, probe.width,
         ).compile()
         chunk = jax.ShapeDtypeStruct((rows, probe.width), u8)
         _get_sync_probe().lower(chunk).compile()
@@ -350,6 +468,36 @@ def prewarm_stream(
             for _ in range(npanels)
         )
         _stack_pairs.lower(pair).compile()
+
+
+def prewarm_panel(n: int, ref_len: int) -> None:
+    """Compile the full streamed program family for an (n, ref_len)
+    panel: the counting kernel at its exact first-call shape plus the
+    build/concat/glue programs (:func:`prewarm_stream`).  Used by the
+    device server's background 'prewarm' op; in-process callers go
+    through core/pipeline.prewarm_counts (which owns the cfg gating)."""
+    import jax
+    import jax.numpy as jnp
+
+    from phylonium_tpu.ops.pallas_match import (
+        _PACKED_PAD,
+        _pallas_counts,
+        blocked_call_shape,
+        cross_counts_pallas,
+        packed_call_shape,
+    )
+
+    if jax.devices()[0].platform == "tpu":
+        if n > 512:
+            rb_pad, block, cols = blocked_call_shape(n, ref_len)
+            dummy = jnp.full((rb_pad, cols), _PACKED_PAD, jnp.uint8)
+            out = cross_counts_pallas(dummy, dummy, block, packed=True)
+        else:
+            n_pad, block, cols = packed_call_shape(n, ref_len)
+            dummy = jnp.full((n_pad, cols), _PACKED_PAD, jnp.uint8)
+            out = _pallas_counts(dummy, block, packed=True)
+        jax.block_until_ready(out)
+    prewarm_stream(n, ref_len)
 
 
 def map_pileup_streamed(

@@ -1,0 +1,315 @@
+"""The device-server daemon: one warm session, many CLI runs.
+
+Run as ``python -m phylonium_tpu.serve``.  Binds a unix socket (default
+``~/.cache/phylonium_tpu/devd.sock``, override
+``PHYLONIUM_TPU_DEVD_SOCK``), warms the tunnel in the background (the
+8-200 s first-execution penalty lands HERE, once), and then serves:
+
+    ping                                -> {ok, warm, platform, pid}
+    qgroup  {run, gidx} + [packed, sep] -> verified device residency
+    group   {run, seq, gidx?, ref_len, l2, width}
+            + [intervals] (+ [packed, sep] when not pre-shipped)
+                                        -> builds + verifies one pileup
+                                           row chunk on device
+    finish  {run, n, flat, block}       -> counts on the resident
+                                           chunks; replies [subs, homs]
+    cancel  {run}                       -> drops the run's device state
+
+One client connection is served at a time (CLI runs are sequential);
+all state is per-connection and dropped when the client disconnects, so
+a crashed CLI can never leak panels into the next run.  Replies to
+qgroup/group are sent only after a sync-probed fetch proves residency —
+the client's shipped accounting stays honest.  Device failures answer
+``{ok: false, error: ...}``; the daemon itself stays up (the client's
+host race absorbs the miss).  Exits after 30 idle minutes
+(``PHYLONIUM_TPU_DEVD_IDLE_S``).
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import sys
+import threading
+import time
+
+import numpy as np
+
+from phylonium_tpu.serve.wire import WireError, recv_msg, send_msg
+
+
+def sock_path() -> str:
+    return os.environ.get(
+        "PHYLONIUM_TPU_DEVD_SOCK",
+        os.path.expanduser("~/.cache/phylonium_tpu/devd.sock"),
+    )
+
+
+class _State:
+    def __init__(self):
+        self.warm = False
+        self.platform = None
+        # per-run device state: run -> {"groups": {gidx: (pd, sd)},
+        #                               "chunks": {seq: chunk}}
+        self.runs: dict = {}
+        # content-addressed query-group cache, ACROSS connections: the
+        # tunnel is the wall, so identical query groups (re-runs of a
+        # panel, a -2 second pass, bootstrap sweeps) must ship ONCE per
+        # daemon lifetime.  key -> (packed_dev, nbytes); LRU-capped.
+        self.qcache: dict = {}
+        self.qcache_bytes = 0
+        self.qcache_cap = int(
+            float(os.environ.get("PHYLONIUM_TPU_DEVD_CACHE_MB", 4096))
+            * 1e6
+        )
+        self._probe = None
+
+    def qcache_put(self, key: str, pd, nbytes: int) -> None:
+        if key in self.qcache:
+            return
+        while self.qcache and self.qcache_bytes + nbytes > self.qcache_cap:
+            old, (_, old_bytes) = next(iter(self.qcache.items()))
+            del self.qcache[old]
+            self.qcache_bytes -= old_bytes
+        self.qcache[key] = (pd, nbytes)
+        self.qcache_bytes += nbytes
+
+    def qcache_get(self, key: str):
+        hit = self.qcache.pop(key, None)
+        if hit is not None:
+            self.qcache[key] = hit  # LRU refresh
+        return hit
+
+    def probe_sync(self, arr) -> None:
+        """Fetch one element through a cached program — the only
+        honest residency check on this deployment."""
+        if self._probe is None:
+            import jax
+
+            self._probe = jax.jit(lambda x: x[:1])
+        np.asarray(self._probe(arr.reshape(-1)))
+
+
+def _warmup(state: _State) -> None:
+    try:
+        from phylonium_tpu.core.query_ship import warm_link
+        from phylonium_tpu.utils.cache import enable_compile_cache
+
+        enable_compile_cache()
+        import jax
+
+        state.platform = jax.devices()[0].platform
+        warm_link()
+        state.warm = True
+    except Exception as e:  # noqa: BLE001 — daemon stays up, unwarm
+        sys.stderr.write(f"devd: warmup failed: {e!r}\n")
+
+
+def _handle(state: _State, header: dict, arrays: list):
+    """One request -> (reply_header, reply_arrays)."""
+    op = header.get("op")
+    if op == "ping":
+        return {
+            "ok": True,
+            "warm": state.warm,
+            "platform": state.platform,
+            "pid": os.getpid(),
+        }, []
+
+    import jax
+
+    if op == "qhave":
+        # content-cache lookup: a hit binds the cached device arrays to
+        # this run's group slot with ZERO bytes shipped
+        run, gidx, key = header["run"], int(header["gidx"]), header["key"]
+        hit = state.qcache_get(key)
+        if hit is None:
+            return {"ok": True, "have": False}, []
+        pd, _ = hit
+        groups = state.runs.setdefault(
+            run, {"groups": {}, "chunks": {}}
+        )["groups"]
+        groups[gidx] = pd
+        return {"ok": True, "have": True}, []
+
+    if op == "qgroup":
+        run, gidx = header["run"], int(header["gidx"])
+        (packed,) = arrays
+        t0 = time.time()
+        pd = jax.device_put(packed)
+        state.probe_sync(pd)
+        groups = state.runs.setdefault(
+            run, {"groups": {}, "chunks": {}}
+        )["groups"]
+        groups[gidx] = pd
+        if header.get("key"):
+            state.qcache_put(header["key"], pd, packed.nbytes)
+        return {"ok": True, "seconds": time.time() - t0}, []
+
+    if op == "group":
+        from phylonium_tpu.ops.pileup_device import dispatch_build_packed
+
+        run = header["run"]
+        st = state.runs.setdefault(run, {"groups": {}, "chunks": {}})
+        t0 = time.time()
+        if header.get("gidx") is not None:
+            # query codes already verified resident (qgroup/qhave):
+            # the build is deterministic device compute, so dispatch
+            # ASYNC — finish()'s counting fetch forces the whole chain,
+            # and a failed build surfaces there (host race covers)
+            pd = st["groups"][int(header["gidx"])]
+            intervals, orow, ocol, oval = arrays
+            verify = False
+        else:
+            intervals, orow, ocol, oval, packed = arrays
+            pd = jax.device_put(packed)
+            state.probe_sync(pd)  # honest link accounting for the ship
+            verify = True
+        chunk = dispatch_build_packed(
+            pd, intervals, (orow, ocol, oval),
+            int(header["ref_len"]), int(header["l2"]),
+            int(header["width"]),
+        )
+        if verify:
+            state.probe_sync(chunk)
+        st["chunks"][int(header["seq"])] = chunk
+        return {"ok": True, "seconds": time.time() - t0}, []
+
+    if op == "finish":
+        from phylonium_tpu.ops.pallas_match import (
+            blocked_counts_device,
+            flat_counts_device,
+        )
+        from phylonium_tpu.utils.platform import cpu_pinned
+
+        run = header["run"]
+        st = state.runs.get(run)
+        if st is None or not st["chunks"]:
+            return {"ok": False, "error": f"no chunks for run {run}"}, []
+        chunks = tuple(
+            st["chunks"][k] for k in sorted(st["chunks"])
+        )
+        # chunks are consumed; qgroups stay (a -2 second pass reuses
+        # the same resident query codes under the same run id)
+        st["chunks"] = {}
+        n = int(header["n"])
+        kw = dict(
+            block=int(header["block"]), interpret=cpu_pinned()
+        )
+        if header.get("flat"):
+            subs, homs = flat_counts_device(chunks, n, **kw)
+        else:
+            subs, homs = blocked_counts_device(chunks, n, **kw)
+        return {"ok": True}, [subs, homs]
+
+    if op == "cancel":
+        st = state.runs.get(header.get("run"))
+        if st is not None:
+            st["chunks"] = {}  # qgroups stay for a later pass
+        return {"ok": True}, []
+
+    if op == "prewarm":
+        # compile (and persist) the streamed program family for this
+        # panel shape in the BACKGROUND: group builds arriving on this
+        # connection meanwhile only need device_put + the tiny probe
+        def _warm():
+            try:
+                from phylonium_tpu.core.stream import prewarm_panel
+
+                prewarm_panel(
+                    int(header["n"]), int(header["ref_len"])
+                )
+            except Exception as e:  # noqa: BLE001
+                sys.stderr.write(f"devd: prewarm failed: {e!r}\n")
+
+        threading.Thread(target=_warm, daemon=True).start()
+        return {"ok": True}, []
+
+    return {"ok": False, "error": f"unknown op {op!r}"}, []
+
+
+def serve(path: str | None = None, idle_s: float | None = None) -> int:
+    # platform pin BEFORE any request can touch a backend: a request
+    # racing the warmup thread must never init an unpinned backend
+    # (PHYLONIUM_TPU_PLATFORM=cpu daemons exist — tests, wedged tunnels)
+    from phylonium_tpu.utils.platform import ensure_device_plugin
+
+    ensure_device_plugin()
+
+    path = path or sock_path()
+    if idle_s is None:
+        idle_s = float(os.environ.get("PHYLONIUM_TPU_DEVD_IDLE_S", 1800))
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    try:
+        os.unlink(path)
+    except OSError:
+        pass
+    srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    srv.bind(path)
+    os.chmod(path, 0o600)
+    srv.listen(4)
+    srv.settimeout(10.0)
+    with open(path + ".pid", "w") as f:
+        f.write(str(os.getpid()))
+
+    state = _State()
+    threading.Thread(target=_warmup, args=(state,), daemon=True).start()
+    sys.stderr.write(f"devd: serving on {path} (pid {os.getpid()})\n")
+
+    activity = {"t": time.time()}
+    try:
+        while True:
+            try:
+                conn, _ = srv.accept()
+            except socket.timeout:
+                if time.time() - activity["t"] > idle_s:
+                    sys.stderr.write("devd: idle timeout, exiting\n")
+                    return 0
+                continue
+            activity["t"] = time.time()
+            # one thread per connection: control ops (ping, qhave,
+            # cancel) stay responsive while another client's device op
+            # grinds through a degraded window, and a dead client's
+            # half-open connection can never wedge the accept loop
+            threading.Thread(
+                target=_serve_conn,
+                args=(state, conn, activity),
+                daemon=True,
+            ).start()
+    finally:
+        srv.close()
+        for suffix in ("", ".pid"):
+            try:
+                os.unlink(path + suffix)
+            except OSError:
+                pass
+
+
+def _serve_conn(state: _State, conn: socket.socket, activity) -> None:
+    touched: set = set()  # run ids created over THIS connection
+    try:
+        while True:
+            try:
+                header, arrays = recv_msg(conn)
+            except (WireError, OSError):
+                return  # client gone
+            activity["t"] = time.time()
+            if isinstance(header.get("run"), str):
+                touched.add(header["run"])
+            try:
+                reply, out = _handle(state, header, arrays)
+            except Exception as e:  # noqa: BLE001 — stay up
+                reply, out = {"ok": False, "error": repr(e)[:500]}, []
+            try:
+                send_msg(conn, reply, out)
+            except OSError:
+                return
+            activity["t"] = time.time()
+    finally:
+        conn.close()
+        for run in touched:  # per-connection state, never leaks
+            state.runs.pop(run, None)
+
+
+if __name__ == "__main__":
+    sys.exit(serve())

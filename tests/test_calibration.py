@@ -136,6 +136,20 @@ def test_stream_predicts_win(calfile):
     assert _stream_predicts_win(600, 1_000_000, cfg) is False
 
 
+def test_stream_predicts_win_devd(calfile, monkeypatch):
+    """With the device server on, shipped misses are the next run's
+    cache hits: the gate ignores the link and only asks whether the
+    host compare is slow enough for the device to beat at all."""
+    from phylonium_tpu.core.pipeline import _stream_predicts_win
+
+    monkeypatch.setenv("PHYLONIUM_TPU_DEVD", "1")
+    calibration.record("link_mb_s", 0.5)  # collapsed link: irrelevant
+    calibration.record("host_compare_gbps", 30.0)
+    cfg = RunConfig()
+    assert _stream_predicts_win(600, 1_000_000, cfg) is True  # ~6 s host
+    assert _stream_predicts_win(29, 5_000_000, cfg) is False  # ~0.07 s
+
+
 def test_should_stream_follows_link_prediction(calfile, monkeypatch):
     """_should_stream engages on a measured-link win even when the
     static threshold would have kept the panel on host — and stays
@@ -146,6 +160,7 @@ def test_should_stream_follows_link_prediction(calfile, monkeypatch):
         backend_name = "native"
 
     monkeypatch.delenv("PHYLONIUM_TPU_STREAM", raising=False)
+    monkeypatch.setenv("PHYLONIUM_TPU_DEVD", "0")  # the link-model path
     # pretend this is not a CPU-pinned process (the gate's last check)
     monkeypatch.setattr(pl, "_is_multiprocess", lambda: False)
     import phylonium_tpu.utils.platform as plat
@@ -176,6 +191,7 @@ def test_early_ship_eligible(calfile, tmp_path, monkeypatch):
         files.append(str(p))
 
     monkeypatch.delenv("PHYLONIUM_TPU_STREAM", raising=False)
+    monkeypatch.setenv("PHYLONIUM_TPU_DEVD", "0")  # the link-model path
     monkeypatch.setattr(plat, "cpu_pinned", lambda: False)
     calibration.record("link_mb_s", 100.0)
     calibration.record("host_compare_gbps", 3.0)

@@ -1,0 +1,297 @@
+"""Device server (phylonium_tpu/serve/): warm-session streaming.
+
+A CPU-pinned daemon is spawned per module into a tmp socket; the
+feeder/shipper devd transport must count bit-identically to the numpy
+oracle and the CLI must stay byte-identical with the daemon carrying
+the compare.  Failure paths (no daemon, daemon errors) must degrade to
+the host path, never the run.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import signal
+import socket
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+from phylonium_tpu.core.homology import FORWARD, REVERSE, Homology
+from phylonium_tpu.core.pileup import build_pileup
+from phylonium_tpu.ops.match_table import pair_counts_numpy
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _hom(direction, proj_start, iq, length):
+    return Homology(
+        direction=direction,
+        index_reference=proj_start,
+        index_reference_projected=proj_start,
+        index_query=iq,
+        length=length,
+    )
+
+
+def _panel(rng, n, ref_len):
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    queries, homologies = [], []
+    for g in range(n):
+        qlen = ref_len + int(rng.integers(0, 60))
+        q = rng.choice(acgt, qlen).astype(np.uint8)
+        if g % 4 == 1 and qlen > 40:
+            q[qlen // 2] = ord("!")
+        hv = []
+        if g % 5 != 4:
+            cut = int(rng.integers(1, ref_len))
+            len1 = int(rng.integers(1, cut + 1))
+            hv.append(_hom(FORWARD, cut - len1, 0, len1))
+            len2 = int(rng.integers(0, ref_len - cut + 1))
+            if len2 > 0:
+                hv.append(
+                    _hom(
+                        REVERSE if g % 3 == 0 else FORWARD,
+                        cut, qlen - len2 - 1 if g % 3 == 0 else cut,
+                        len2,
+                    )
+                )
+        queries.append(q)
+        homologies.append(hv)
+    return queries, homologies
+
+
+@pytest.fixture(scope="module")
+def daemon(tmp_path_factory):
+    """One CPU-pinned daemon for the module, on a tmp socket."""
+    tmp = tmp_path_factory.mktemp("devd")
+    sock = str(tmp / "devd.sock")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
+    env["PHYLONIUM_TPU_DEVD_SOCK"] = sock
+    env["PHYLONIUM_TPU_PLATFORM"] = "cpu"
+    env["PHYLONIUM_TPU_DEVD_IDLE_S"] = "600"
+    log = open(tmp / "devd.log", "wb")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "phylonium_tpu.serve"],
+        stdout=log, stderr=log, env=env,
+    )
+    deadline = time.time() + 30
+    while time.time() < deadline and not os.path.exists(sock):
+        if proc.poll() is not None:
+            raise RuntimeError(
+                f"daemon died rc={proc.returncode}: "
+                + (tmp / "devd.log").read_bytes().decode()[-2000:]
+            )
+        time.sleep(0.1)
+    assert os.path.exists(sock), "daemon socket never appeared"
+    yield sock
+    proc.send_signal(signal.SIGTERM)
+    try:
+        proc.wait(timeout=10)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+    log.close()
+
+
+@pytest.fixture
+def devd_env(daemon, monkeypatch):
+    """Point this process's client at the module daemon, fresh."""
+    import phylonium_tpu.serve.client as cl
+
+    monkeypatch.setenv("PHYLONIUM_TPU_DEVD_SOCK", daemon)
+    monkeypatch.setenv("PHYLONIUM_TPU_DEVD", "1")
+    monkeypatch.setattr(cl, "_client", None)
+    yield daemon
+    client = cl._client
+    if client is not None:
+        client.close()
+    cl._client = None
+
+
+def test_wire_roundtrip():
+    from phylonium_tpu.serve.wire import recv_msg, send_msg
+
+    a, b = socket.socketpair()
+    try:
+        arrays = [
+            np.arange(7, dtype=np.int64),
+            np.zeros((3, 4), np.uint8),
+        ]
+        send_msg(a, {"op": "x", "k": 1}, arrays)
+        header, got = recv_msg(b)
+        assert header["op"] == "x" and header["k"] == 1
+        for w, g in zip(arrays, got):
+            np.testing.assert_array_equal(w, g)
+        # bad magic rejected
+        a.sendall(b"NOPE!" + b"\x00" * 4)
+        with pytest.raises(ConnectionError):
+            recv_msg(b)
+    finally:
+        a.close()
+        b.close()
+
+
+def test_ping_and_spawnless_connect(devd_env):
+    from phylonium_tpu.serve.client import DevdClient
+
+    c = DevdClient(spawn=False)
+    reply = c.ping(timeout=30.0)
+    assert reply["ok"] and isinstance(reply["pid"], int)
+    c.close()
+
+
+def test_client_refuses_absent_daemon(tmp_path, monkeypatch):
+    from phylonium_tpu.serve.client import DevdClient, DevdError
+
+    monkeypatch.setenv(
+        "PHYLONIUM_TPU_DEVD_SOCK", str(tmp_path / "nothing.sock")
+    )
+    with pytest.raises(DevdError):
+        DevdClient(spawn=False)
+
+
+def test_feeder_devd_matches_oracle(rng, devd_env):
+    """The devd transport end to end: groups cross the socket, the
+    daemon builds + counts, results equal the numpy oracle exactly."""
+    from phylonium_tpu.core.stream import DeviceRowFeeder
+
+    n, length = 13, 900
+    queries, homologies = _panel(rng, n, length)
+    feeder = DeviceRowFeeder(n, length, interpret=True)
+    assert feeder._devd
+    lo = 0
+    for g in (5, 5, 3):
+        feeder.feed(queries[lo : lo + g], homologies[lo : lo + g])
+        lo += g
+    subs, homs = feeder.finish()
+    states = build_pileup(queries, homologies, length)
+    es, eh = pair_counts_numpy(states)
+    np.testing.assert_array_equal(subs, es)
+    np.testing.assert_array_equal(homs, eh)
+
+
+def test_shipper_devd_and_second_pass_reuse(rng, devd_env, monkeypatch):
+    """Query groups parked in the daemon by the shipper are consumed by
+    reference (intervals-only group calls), including a second
+    finish() on the same run id (the -2 second pass)."""
+    from phylonium_tpu.core.query_ship import DevdGroup, QueryShipper
+    from phylonium_tpu.core.stream import DeviceRowFeeder
+
+    n, length = 10, 700
+    queries, homologies = _panel(rng, n, length)
+    monkeypatch.setenv("PHYLONIUM_TPU_STREAM_GROUP", "4")
+    shipper = QueryShipper(n)
+    for q in queries:
+        shipper.add(q)
+    got = shipper.take(0, 4)
+    assert isinstance(got, DevdGroup) and shipper.transport == "devd"
+
+    states = build_pileup(queries, homologies, length)
+    es, eh = pair_counts_numpy(states)
+    for _pass in range(2):  # second pass reuses the parked qgroups
+        feeder = DeviceRowFeeder(n, length, shipper=shipper)
+        for lo in (0, 4, 8):
+            hi = min(lo + 4, n)
+            feeder.feed(queries[lo:hi], homologies[lo:hi])
+        subs, homs = feeder.finish()
+        np.testing.assert_array_equal(subs, es)
+        np.testing.assert_array_equal(homs, eh)
+        assert feeder.shipped_fraction() == 1.0
+
+    # a NEW shipper over the same queries hits the daemon's content
+    # cache: every group verifies with zero bytes shipped
+    shipper2 = QueryShipper(n)
+    for q in queries:
+        shipper2.add(q)
+    assert isinstance(shipper2.take(0, 4), DevdGroup)
+    assert shipper2.take(4, 8) is not None
+    assert shipper2.take(8, 10) is not None
+    assert shipper2._hits == 3 and shipper2.shipped_bytes() == 0
+    feeder = DeviceRowFeeder(n, length, shipper=shipper2)
+    for lo in (0, 4, 8):
+        hi = min(lo + 4, n)
+        feeder.feed(queries[lo:hi], homologies[lo:hi])
+    subs, homs = feeder.finish()
+    np.testing.assert_array_equal(subs, es)
+    np.testing.assert_array_equal(homs, eh)
+
+
+def _write_panel(tmp_path, n, length, seed):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 4, length)
+    files = []
+    for k in range(n):
+        arr = base.copy()
+        idx = rng.random(arr.size) < 0.01 * (k + 1)
+        arr[idx] = (arr[idx] + rng.integers(1, 4, int(idx.sum()))) % 4
+        seq = bytes(b"ACGT"[c] for c in arr)
+        p = tmp_path / f"Q{k:02d}.fasta"
+        p.write_bytes(b">Q%02d\n" % k + seq + b"\n")
+        files.append(str(p))
+    return files
+
+
+def test_devd_cli_byte_identical(tmp_path, devd_env, monkeypatch):
+    """Full CLI with the daemon carrying the compare: byte-identical to
+    the serial host run, carrier reported as device."""
+    import phylonium_tpu.core.pipeline as pl
+    from phylonium_tpu.cli import main
+
+    files = _write_panel(tmp_path, 9, 2400, seed=23)
+
+    def run():
+        out = io.StringIO()
+        with contextlib.redirect_stdout(out):
+            rc = main(["--progress=never", *files])
+        return rc, out.getvalue()
+
+    monkeypatch.setenv("PHYLONIUM_TPU_STREAM", "0")
+    rc0, serial = run()
+    assert rc0 == 0
+
+    monkeypatch.setenv("PHYLONIUM_TPU_STREAM", "force")
+    monkeypatch.setenv("PHYLONIUM_TPU_STREAM_GROUP", "4")
+    rc1, streamed = run()
+    assert rc1 == 0
+    assert streamed == serial
+
+
+def test_devd_failure_degrades_to_host(rng, tmp_path, monkeypatch):
+    """No daemon + spawn impossible: the feeder's finish raises, the
+    race covers on the host path, the CLI output stays byte-identical."""
+    import phylonium_tpu.serve.client as cl
+    from phylonium_tpu.cli import main
+
+    monkeypatch.setenv(
+        "PHYLONIUM_TPU_DEVD_SOCK", str(tmp_path / "void.sock")
+    )
+    monkeypatch.setenv("PHYLONIUM_TPU_DEVD", "1")
+    monkeypatch.setenv("PHYLONIUM_TPU_DEVD_SPAWN_WAIT", "1")
+    monkeypatch.setattr(cl, "_client", None)
+    # block spawning: the daemon must not come up
+    monkeypatch.setattr(
+        cl.DevdClient, "spawn_daemon", lambda self: None
+    )
+
+    files = _write_panel(tmp_path, 7, 2200, seed=31)
+
+    def run():
+        out = io.StringIO()
+        with contextlib.redirect_stdout(out):
+            rc = main(["--progress=never", *files])
+        return rc, out.getvalue()
+
+    monkeypatch.setenv("PHYLONIUM_TPU_STREAM", "0")
+    rc0, serial = run()
+    assert rc0 == 0
+    monkeypatch.setenv("PHYLONIUM_TPU_STREAM", "force")
+    monkeypatch.setenv("PHYLONIUM_TPU_STREAM_GROUP", "3")
+    rc1, streamed = run()
+    assert rc1 == 0
+    assert streamed == serial
+    cl._client = None

@@ -124,6 +124,44 @@ def test_build_packed_rows_matches_host_pack(rng):
         np.testing.assert_array_equal(got, want)
 
 
+def test_build_packed_window_alignments(rng):
+    """The windowed 16-column fetch must be exact for every interval
+    start/end alignment mod 16: dense tilings of tiny (1..40 col)
+    forward/reverse intervals, back to back, plus separators."""
+    from phylonium_tpu.ops.pallas_match import pack_states
+    from phylonium_tpu.ops.pileup_device import build_packed_rows_device
+
+    ref_len = 640
+    queries, homologies = [], []
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    for g in range(24):
+        qlen = 2 * ref_len
+        q = rng.choice(acgt, qlen).astype(np.uint8)
+        q[rng.integers(0, qlen, 5)] = ord("!")
+        hv = []
+        col = int(g % 16)  # start offset sweeps every alignment
+        qpos = 0
+        while col < ref_len - 41 and qpos < qlen - 100:
+            length = int(rng.integers(1, 41))
+            if (col + g) % 3 == 0:
+                hv.append(
+                    _hom(REVERSE, col, qlen - qpos - length, length)
+                )
+            else:
+                hv.append(_hom(FORWARD, col, qpos, length))
+            col += length + int(rng.integers(0, 3))  # gaps of 0-2
+            qpos += length + 1
+        queries.append(q)
+        homologies.append(hv)
+    l2 = -(-ref_len // 2)
+    got = np.asarray(
+        build_packed_rows_device(queries, homologies, ref_len, l2, l2)
+    )
+    rows = build_pileup(queries, homologies, ref_len)
+    want = pack_states(rows, len(queries), l2)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_feeder_error_surfaces_in_finish(rng, monkeypatch):
     import phylonium_tpu.ops.pileup_device as pd
 
@@ -325,7 +363,7 @@ def test_query_shipper_groups_bit_identical(rng, monkeypatch):
     (same pack+pad helper), and the feeder's counts on resident groups
     match the numpy oracle."""
     from phylonium_tpu.core.query_ship import QueryShipper
-    from phylonium_tpu.ops.pileup_device import padded_pack
+    from phylonium_tpu.ops.pileup_device import group_payload
 
     n, length = 13, 900
     queries, homologies = _panel(rng, n, length)
@@ -339,11 +377,11 @@ def test_query_shipper_groups_bit_identical(rng, monkeypatch):
         hi = min(lo + 5, n)
         got = shipper.take(lo, hi)
         assert got is not None
-        packed, sep, bases = got
-        ep, es, eb = padded_pack(queries[lo:hi])
+        packed, bases, seps = got
+        ep, eb, es = group_payload(queries[lo:hi])
         np.testing.assert_array_equal(np.asarray(packed), ep)
-        np.testing.assert_array_equal(np.asarray(sep), es)
         np.testing.assert_array_equal(bases, eb)
+        np.testing.assert_array_equal(seps, es)
     # boundary mismatches hand back None (feeder ships itself)
     assert shipper.take(1, 6) is None
     assert shipper.take(5, 9) is None
