@@ -65,10 +65,19 @@ class DevdClient:
 
     def _connect(self, spawn: bool):
         try:
-            return self._try_connect(2.0)
+            sock = self._try_connect(2.0)
         except OSError:
             if not spawn:
                 raise DevdError(f"no device server at {self.path}")
+            sock = None
+        if sock is not None:
+            if spawn and not self._protocol_ok(sock):
+                # a daemon from an older build: replace it (its exact
+                # pid from the pidfile — never a pattern kill)
+                sock.close()
+                self._kill_stale()
+            else:
+                return sock
         self.spawn_daemon()
         deadline = time.time() + float(
             os.environ.get("PHYLONIUM_TPU_DEVD_SPAWN_WAIT", 15.0)
@@ -81,6 +90,40 @@ class DevdClient:
                 last = e
                 time.sleep(0.25)
         raise DevdError(f"device server did not come up: {last!r}")
+
+    def _protocol_ok(self, sock) -> bool:
+        from phylonium_tpu.serve.daemon import PROTOCOL
+        from phylonium_tpu.serve.wire import recv_msg, send_msg
+
+        try:
+            sock.settimeout(10.0)
+            send_msg(sock, {"op": "ping"})
+            reply, _ = recv_msg(sock)
+            return reply.get("protocol") == PROTOCOL
+        except OSError:
+            # busy/unresponsive is not staleness; let requests decide
+            return True
+
+    def _kill_stale(self) -> None:
+        import signal
+
+        try:
+            with open(self.path + ".pid") as f:
+                pid = int(f.read().strip())
+            os.kill(pid, signal.SIGTERM)
+            for _ in range(20):
+                try:
+                    os.kill(pid, 0)
+                except OSError:
+                    break
+                time.sleep(0.1)
+        except (OSError, ValueError):
+            pass
+        for suffix in ("", ".pid"):
+            try:
+                os.unlink(self.path + suffix)
+            except OSError:
+                pass
 
     def spawn_daemon(self) -> None:
         env = dict(os.environ)

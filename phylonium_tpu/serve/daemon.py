@@ -37,6 +37,11 @@ import numpy as np
 
 from phylonium_tpu.serve.wire import WireError, recv_msg, send_msg
 
+# bumped on every protocol / device-program change: a daemon left over
+# from an older build answers ping with its own stamp and the client
+# replaces it instead of hitting unknown ops or stale kernels
+PROTOCOL = "phyd-3"
+
 
 def sock_path() -> str:
     return os.environ.get(
@@ -114,6 +119,27 @@ def _handle(state: _State, header: dict, arrays: list):
             "warm": state.warm,
             "platform": state.platform,
             "pid": os.getpid(),
+            "protocol": PROTOCOL,
+            "qcache_mb": round(state.qcache_bytes / 1e6, 1),
+            "qcache_groups": len(state.qcache),
+        }, []
+
+    if op == "probe":
+        # verified link-bandwidth probe through the warm session:
+        # random bytes (the tunnel compresses), fetched back
+        mb = int(header.get("mb", 16))
+        rng = np.random.default_rng(int(header.get("seed", 0)))
+        data = rng.integers(0, 256, mb << 20).astype(np.uint8)
+        import jax
+
+        t0 = time.time()
+        d = jax.device_put(data)
+        state.probe_sync(d)
+        dt = time.time() - t0
+        return {
+            "ok": True,
+            "seconds": dt,
+            "mb_s": round(mb / dt, 2) if dt > 0 else None,
         }, []
 
     import jax
