@@ -993,9 +993,11 @@ def _run_bench(n, length, detail, failures):
     if use_pallas:
         if _rem() > 200:
             _mark("forced-device parity")
+            # generous timeout: the forced in-process device path pays
+            # the fresh-process session penalty (8-200 s measured)
             detail["forced_device_parity"] = guard(
                 "forced_device_parity",
-                lambda: forced_device_parity(timeout_s=_clamp(300)),
+                lambda: forced_device_parity(timeout_s=_clamp(600)),
                 failures,
             )
         else:

@@ -402,11 +402,34 @@ def main(argv: list[str] | None = None) -> int:
     # shipper reverts to feed-time shipping, bit-identically).
     from phylonium_tpu.core.query_ship import early_ship_eligible
 
+    # low-memory mode (core/lowmem.py): predicted from file sizes so
+    # sequences 2-bit-compact AT READ TIME — the raw panel never
+    # materializes.  The pipeline re-decides with exact sizes (the
+    # compaction is transparent either way).
+    lowmem_group = None
+    try:
+        from phylonium_tpu.core.lowmem import (
+            group_rows_for,
+            should_lowmem,
+        )
+
+        est_bp = int(
+            sum(os.path.getsize(f) for f in file_names) * 0.98
+        )
+        if should_lowmem(len(file_names), est_bp, cfg):
+            lowmem_group = group_rows_for(
+                len(file_names), max(1, est_bp // len(file_names))
+            )
+    except OSError:
+        pass
+
     if early_ship_eligible(cfg, file_names):
         try:
             from phylonium_tpu.core.query_ship import QueryShipper
 
-            cfg._query_shipper = QueryShipper(len(file_names))
+            cfg._query_shipper = QueryShipper(
+                len(file_names), group_rows=lowmem_group
+            )
         except Exception:
             cfg._query_shipper = None
 
@@ -423,6 +446,8 @@ def main(argv: list[str] | None = None) -> int:
                 queries.append(q)
                 if cfg._query_shipper is not None:
                     cfg._query_shipper.add(q.as_array())
+                if lowmem_group is not None:
+                    q.compact()
     except OSError as e:
         # err(errno, ...)-style failure (src/io.cxx:73-74)
         print(f"{PROG}: {e.filename}: {e.strerror}", file=sys.stderr)

@@ -17,10 +17,14 @@ import threading
 import numpy as np
 
 
-def map_batch_native(native, batch, threshold: int, bar, base: int):
+def map_batch_native(
+    native, batch, threshold: int, bar, base: int, raw: bool = False
+):
     """Map ``batch`` with the native mapper, relaying its atomic
     per-query counter to ``bar`` (offset by ``base`` completed queries)
-    for the duration of the call.  Returns the mapper's output list.
+    for the duration of the call.  Returns the mapper's output list
+    (``raw=True``: per-genome [H, 5] int64 arrays for the low-memory
+    pipeline instead of Homology objects).
     """
     counter = np.zeros(1, dtype=np.int64)
     stop = threading.Event()
@@ -36,7 +40,9 @@ def map_batch_native(native, batch, threshold: int, bar, base: int):
         )
         poller.start()
     try:
-        return native.map_queries(batch, threshold, progress_out=counter)
+        return native.map_queries(
+            batch, threshold, progress_out=counter, raw=raw
+        )
     finally:
         stop.set()
         if poller is not None:

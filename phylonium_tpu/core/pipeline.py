@@ -1067,6 +1067,41 @@ def process(
             )
         return EvoCounts(subs, homs)
 
+    from phylonium_tpu.core.lowmem import should_lowmem
+
+    if should_lowmem(n, sum(len(q) for q in queries), cfg, ref):
+        from phylonium_tpu.core.lowmem import map_count_lowmem
+        from phylonium_tpu.utils import calibration
+
+        subs, homs, lm_timings = map_count_lowmem(
+            ref, threshold, queries, cfg
+        )
+        timings.update(lm_timings)
+        calibration.record_map(
+            sum(len(q) for q in queries) / 1e9,
+            lm_timings.get("map+feed", 0.0),
+        )
+        if LAST_RUN_INFO.get("compare_carrier") == "host":
+            calibration.record_host_compare(
+                n * (n - 1) / 2 * len(subject) / 1e9,
+                lm_timings.get("compare", 0.0),
+            )
+        LAST_RUN_INFO["timings"] = {
+            k: round(v, 3) for k, v in timings.items()
+        }
+        if cfg.verbose >= 2:
+            phases = "  ".join(
+                f"{k}={v:.3f}s" for k, v in timings.items()
+            )
+            carrier = LAST_RUN_INFO.get("compare_carrier", "?")
+            print(
+                f"phase timings ({ref.backend_name} index, "
+                f"{cfg.count_backend} counts, {carrier} carried, "
+                f"low-mem): {phases}",
+                file=sys.stderr,
+            )
+        return EvoCounts(subs, homs)
+
     shipper = getattr(cfg, "_query_shipper", None)
     feeder = None
     if _should_stream(n, len(subject), cfg, ref):

@@ -111,7 +111,12 @@ class DeviceRowFeeder:
         self.width = bucket_cols(l2, self.block) if l2 <= cap else l2
 
     def __init__(
-        self, n: int, ref_len: int, interpret: bool = False, shipper=None
+        self,
+        n: int,
+        ref_len: int,
+        interpret: bool = False,
+        shipper=None,
+        max_backlog: int | None = None,
     ):
         from phylonium_tpu.serve.client import devd_enabled
 
@@ -137,9 +142,14 @@ class DeviceRowFeeder:
         self._closed = False
         self._gave_up = False
         self._error: BaseException | None = None
-        # unbounded: groups are views into the host states matrix (no
-        # copies), and a degraded tunnel window must stall the worker
-        # only — never the mapping loop behind a full queue
+        # unbounded by default: groups are views into the host states
+        # matrix (no copies), and a degraded tunnel window must stall
+        # the worker only — never the mapping loop behind a full queue.
+        # The low-memory pipeline passes ``max_backlog``: its groups
+        # are RECONSTRUCTED copies, so a lagging tunnel must kill the
+        # device leg (host path owns the run) rather than accumulate
+        # the whole panel in the queue.
+        self._max_backlog = max_backlog
         self._q: queue.Queue = queue.Queue()
         self._run_id = (
             shipper.run_id
@@ -314,6 +324,17 @@ class DeviceRowFeeder:
         """Enqueue a mapped group: the next ``len(queries)`` genomes'
         byte arrays and their (filtered, disjoint) homologies, in
         order."""
+        if self._gave_up:
+            return
+        if (
+            self._max_backlog is not None
+            and self._q.qsize() >= self._max_backlog
+        ):
+            # memory-bounded mode and the worker can't keep up: the
+            # device leg is dead for this run (finish() raises; the
+            # host path carries) — never stall mapping, never hoard
+            self.cancel()
+            return
         rows = len(queries)
         lo = self._rows_done
         self._rows_done += rows

@@ -379,18 +379,36 @@ def pair_counts_range(
     )
 
 
-def _decode_homologies(buf, counts: np.ndarray) -> list[list[Homology]]:
+def _decode_homologies(
+    buf, counts: np.ndarray, raw: bool = False
+) -> list:
+    """Per-genome homology lists from the mapper's flat int64 buffer.
+
+    ``raw=True`` returns [H, 5] int64 arrays (columns: direction,
+    index_reference, index_reference_projected, index_query, length —
+    HOMOLOGY_DTYPE order) instead of Homology objects: the low-memory
+    pipeline keeps millions of homologies as 40 bytes each instead of
+    ~400-byte Python objects.
+    """
     total = int(counts.sum())
     flat = np.ctypeslib.as_array(buf, shape=(total * 5,)).copy()
     flat = flat.reshape(total, 5)
-    out: list[list[Homology]] = []
+    out: list = []
     pos = 0
     for c in counts:
-        lst = [
-            Homology(int(r[0]), int(r[1]), int(r[2]), int(r[3]), int(r[4]))
-            for r in flat[pos : pos + int(c)]
-        ]
-        out.append(lst)
+        rows = flat[pos : pos + int(c)]
+        if raw:
+            out.append(rows.copy())
+        else:
+            out.append(
+                [
+                    Homology(
+                        int(r[0]), int(r[1]), int(r[2]), int(r[3]),
+                        int(r[4]),
+                    )
+                    for r in rows
+                ]
+            )
         pos += int(c)
     return out
 
@@ -453,7 +471,8 @@ class NativeESA:
         queries: list[np.ndarray],
         threshold: int,
         progress_out: np.ndarray | None = None,
-    ) -> list[list[Homology]]:
+        raw: bool = False,
+    ) -> list:
         """Batch-map ``queries``; ``progress_out`` (shape-[1] int64) is
         incremented per completed query for live progress polling.
 
@@ -474,13 +493,14 @@ class NativeESA:
         except ValueError:
             batch = 32
         if batch > 0 and len(queries) > batch:
-            out: list[list[Homology]] = []
+            out: list = []
             for lo in range(0, len(queries), batch):
                 out.extend(
                     self.map_queries(
                         queries[lo : lo + batch],
                         threshold,
                         progress_out=progress_out,
+                        raw=raw,
                     )
                 )
             return out
@@ -503,6 +523,6 @@ class NativeESA:
             ctypes.byref(buf),
             _i64ptr(progress_out) if progress_out is not None else None,
         )
-        out = _decode_homologies(buf, counts)
+        out = _decode_homologies(buf, counts, raw=raw)
         self._lib.phy_free(buf)
         return out

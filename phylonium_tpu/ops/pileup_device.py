@@ -96,6 +96,23 @@ def intervals_from_homologies(
     out = np.full((n, hmax, 4), ref_len, dtype=np.int64)
     out[:, :, 3] = 0
     for g, hv in enumerate(homologies):
+        if isinstance(hv, np.ndarray):
+            # raw [H, 5] int64 rows (direction, ir, irp, iq, length) —
+            # the low-memory pipeline's representation; vectorized
+            if not len(hv):
+                continue
+            d, irp, iq, ln = hv[:, 0], hv[:, 2], hv[:, 3], hv[:, 4]
+            keep = ln > 0
+            d, irp, iq, ln = d[keep], irp[keep], iq[keep], ln[keep]
+            order = np.argsort(irp, kind="stable")
+            d, irp, iq, ln = d[order], irp[order], iq[order], ln[order]
+            giq = bases[g] + iq
+            b = np.where(d == REVERSE, giq + ln - 1 + irp, giq - irp)
+            out[g, : len(irp), 0] = irp
+            out[g, : len(irp), 1] = irp + ln
+            out[g, : len(irp), 2] = b
+            out[g, : len(irp), 3] = d
+            continue
         # drop zero-length entries BEFORE filling: a skipped slot mid-list
         # would leave a fill row (start == end == ref_len) inside the
         # delta chain, corrupting the telescoped B/dir fills of every

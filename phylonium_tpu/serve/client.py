@@ -63,6 +63,15 @@ class DevdClient:
         s.connect(self.path)
         return s
 
+    def _pidfile_alive(self) -> int | None:
+        try:
+            with open(self.path + ".pid") as f:
+                pid = int(f.read().strip())
+            os.kill(pid, 0)
+            return pid
+        except (OSError, ValueError):
+            return None
+
     def _connect(self, spawn: bool):
         try:
             sock = self._try_connect(2.0)
@@ -78,10 +87,16 @@ class DevdClient:
                 self._kill_stale()
             else:
                 return sock
-        self.spawn_daemon()
         deadline = time.time() + float(
             os.environ.get("PHYLONIUM_TPU_DEVD_SPAWN_WAIT", 15.0)
         )
+        # spawn ONLY when no live daemon owns the socket: a daemon mid
+        # (GIL-heavy) warmup can be slow to accept, and spawning over
+        # it would orphan its warm session + content cache — the exact
+        # cascade this guard exists for.  A live-but-slow daemon is
+        # waited for instead.
+        if sock is None and self._pidfile_alive() is None:
+            self.spawn_daemon()
         last: Exception | None = None
         while time.time() < deadline:
             try:

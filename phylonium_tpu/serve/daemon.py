@@ -266,6 +266,21 @@ def serve(path: str | None = None, idle_s: float | None = None) -> int:
     if idle_s is None:
         idle_s = float(os.environ.get("PHYLONIUM_TPU_DEVD_IDLE_S", 1800))
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    # never bind over a LIVE daemon: rebinding unlinks its socket and
+    # orphans its warm session + content cache (observed: a spawn
+    # cascade while daemon warmup held the GIL — each refused client
+    # spawned a fresh cold daemon over the warming one)
+    try:
+        with open(path + ".pid") as f:
+            other = int(f.read().strip())
+        if other != os.getpid():
+            os.kill(other, 0)  # raises if dead
+            sys.stderr.write(
+                f"devd: pid {other} already serves {path}; exiting\n"
+            )
+            return 0
+    except (OSError, ValueError):
+        pass
     try:
         os.unlink(path)
     except OSError:
@@ -273,7 +288,10 @@ def serve(path: str | None = None, idle_s: float | None = None) -> int:
     srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
     srv.bind(path)
     os.chmod(path, 0o600)
-    srv.listen(4)
+    # deep backlog: during the (GIL-heavy) tunnel warmup the accept
+    # loop can stall for a while; queued clients must wait, not be
+    # refused (a refused client would try to spawn a replacement)
+    srv.listen(128)
     srv.settimeout(10.0)
     with open(path + ".pid", "w") as f:
         f.write(str(os.getpid()))

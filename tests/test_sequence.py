@@ -79,3 +79,39 @@ def test_as_array_zero_copy():
     arr = s.as_array()
     assert arr.dtype == np.uint8
     assert arr.tolist() == [65, 67, 71, 84]
+
+
+def test_compact_roundtrip(rng):
+    from phylonium_tpu.core.pileup import byte_to_code
+    from phylonium_tpu.data.sequence import Sequence
+
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    arr = rng.choice(acgt, 10_037).astype(np.uint8)
+    arr[rng.integers(0, arr.size, 7)] = ord("!")
+    raw = arr.tobytes()
+    s = Sequence("g", raw)
+    codes_ref = byte_to_code(s.as_array())
+    s.compact()
+    assert s.compacted and len(s) == len(raw)
+    assert s.nucl == raw  # property reconstructs exact bytes
+    np.testing.assert_array_equal(s.as_array(), arr)
+    # codes_slice at every alignment against the byte-mode oracle
+    for a, b in [(0, 10_037), (1, 10_036), (3, 4), (4_095, 4_205),
+                 (10_030, 10_037), (5, 5)]:
+        np.testing.assert_array_equal(
+            s.codes_slice(a, b), codes_ref[a:b]
+        )
+    # byte-mode codes_slice agrees too
+    t = Sequence("g", raw)
+    np.testing.assert_array_equal(
+        t.codes_slice(17, 9_000), codes_ref[17:9_000]
+    )
+
+
+def test_compact_refuses_unfiltered():
+    from phylonium_tpu.data.sequence import Sequence
+
+    s = Sequence("x", b"ACGTNACGT")
+    s.compact()
+    assert not s.compacted  # 'N' is unfiltered: byte storage stays
+    assert s.nucl == b"ACGTNACGT"
