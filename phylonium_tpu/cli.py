@@ -435,19 +435,41 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         # parallel file reading, the analogue of the reference's
-        # omp-parallel read loop (src/phylonium.cxx:272-275)
+        # omp-parallel read loop (src/phylonium.cxx:272-275).
+        # Read-ahead is BOUNDED: Executor.map schedules every file up
+        # front, and finished-but-unconsumed futures each pin a whole
+        # raw genome — measured GBs of hoarded read-ahead at the
+        # 1000 x 5 Mbp tier while the consumer compacted behind 8
+        # parallel readers.
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
-        workers = cfg.threads or min(8, len(file_names))
-        with ThreadPoolExecutor(max_workers=max(workers, 1)) as pool:
+        workers = max(cfg.threads or min(8, len(file_names)), 1)
+
+        def bounded_reads(pool, ahead):
+            pending = deque()
+            for name in file_names:
+                pending.append(pool.submit(read_genome, name))
+                if len(pending) >= ahead:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
             queries = []
-            for g in pool.map(read_genome, file_names):
+            for g in bounded_reads(pool, 2 * workers):
                 q = join(g)
                 queries.append(q)
-                if cfg._query_shipper is not None:
-                    cfg._query_shipper.add(q.as_array())
                 if lowmem_group is not None:
+                    # compact FIRST: the shipper then works zero-copy
+                    # from the per-genome packs (raw views pinned in
+                    # its queue blew the low-mem RSS bound)
                     q.compact()
+                if cfg._query_shipper is not None:
+                    if q.compacted:
+                        cfg._query_shipper.add_seq(q)
+                    else:
+                        cfg._query_shipper.add(q.as_array())
     except OSError as e:
         # err(errno, ...)-style failure (src/io.cxx:73-74)
         print(f"{PROG}: {e.filename}: {e.strerror}", file=sys.stderr)

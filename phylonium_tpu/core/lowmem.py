@@ -90,10 +90,12 @@ def should_lowmem(n: int, total_bp: int, cfg: RunConfig, ref=None) -> bool:
 
 def group_rows_for(n: int, avg_len: int) -> int:
     """Mapping-group size capped so one group's unpacked bytes stay
-    within ~1/8 of the budget."""
+    within ~1/16 of the budget (a group exists as the batch list PLUS
+    the native mapper's contiguous copy, and the feeder may hold two
+    more in its bounded queue)."""
     from phylonium_tpu.core.stream import effective_group_rows
 
-    cap = max(4, int(lowmem_budget() // 8) // max(avg_len, 1))
+    cap = max(4, int(lowmem_budget() // 16) // max(avg_len, 1))
     return max(4, min(effective_group_rows(n), cap))
 
 

@@ -134,6 +134,45 @@ def warm_link() -> None:
         pass  # best-effort; the first group then pays the warmup
 
 
+def _payload_from_compacted(seqs):
+    """(packed32, bases, seps, key) for a group of COMPACTED Sequences.
+
+    Each genome's existing 2-bit pack is reused verbatim, 4-base-aligned
+    in the concatenation (``bases[k+1] = bases[k] + 4*len(pack_k)``) so
+    no repacking happens and no raw bytes are pinned; the alignment gap
+    codes are zeros that no covered column ever indexes.  Groups are
+    self-contained, so this layout coexists freely with the raw-bytes
+    layout of uncompacted groups.  The content key hashes the packs
+    (4x less data than raw) under a distinct domain prefix.
+    """
+    import hashlib
+
+    from phylonium_tpu.ops.pileup_prep import _bucket
+
+    h = hashlib.blake2b(digest_size=16)
+    h.update(b"packed4\0")
+    bases = np.zeros(len(seqs) + 1, np.int64)
+    parts, seps_parts = [], []
+    for k, s in enumerate(seqs):
+        p = s._packed
+        h.update(len(s).to_bytes(8, "little"))
+        h.update(p)
+        parts.append(p)
+        if len(s._seps):
+            seps_parts.append(s._seps + bases[k])
+        bases[k + 1] = bases[k] + 4 * len(p)
+    packed = (
+        np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+    )
+    packed = np.pad(packed, (0, _bucket(len(packed)) - len(packed)))
+    seps = (
+        np.concatenate(seps_parts).astype(np.int64)
+        if seps_parts
+        else np.zeros(0, np.int64)
+    )
+    return packed.view(np.uint32), bases, seps, h.hexdigest()
+
+
 class DevdGroup:
     """A group resident in the DEVICE SERVER's session (serve/): the
     feeder references it by index; ``bases`` and the raw separator
@@ -194,9 +233,20 @@ class QueryShipper:
     def add(self, arr: np.ndarray) -> None:
         """One genome's byte array, in query order (no copy kept beyond
         the group boundary)."""
+        self._push(arr)
+
+    def add_seq(self, seq) -> None:
+        """One COMPACTED Sequence (low-memory mode): the group payload
+        is assembled zero-copy from the per-genome 2-bit packs (each
+        genome 4-base-aligned in the concatenation), so the queue never
+        pins raw byte views — the exact backlog that blew the RSS bound
+        when raw views waited behind a contended pack worker."""
+        self._push(seq)
+
+    def _push(self, item) -> None:
         if self._cancelled:
             return
-        self._pending.append(arr)
+        self._pending.append(item)
         self._added += 1
         if len(self._pending) == self.group_rows or self._added == self.n:
             gidx = (self._added - 1) // self.group_rows
@@ -253,11 +303,18 @@ class QueryShipper:
                     return
                 if self._cancelled:
                     continue
-                gidx, arrays = item
-                from phylonium_tpu.ops.pileup_device import group_payload
+                gidx, items = item
+                from phylonium_tpu.ops.pileup_prep import group_payload
 
                 t_pack = time.time()
-                if client is not None:
+                packed = None
+                if items and not isinstance(items[0], np.ndarray):
+                    # compacted Sequences (low-memory mode): zero-copy
+                    # payload from the per-genome 2-bit packs
+                    packed, bases, seps, key = _payload_from_compacted(
+                        items
+                    )
+                elif client is not None:
                     # content key over the RAW group bytes: a daemon
                     # cache hit (re-run of a panel, -2 second pass,
                     # bootstrap sweep) skips the pack AND the ship —
@@ -266,9 +323,9 @@ class QueryShipper:
                     import hashlib
 
                     h = hashlib.blake2b(digest_size=16)
-                    bases = np.zeros(len(arrays) + 1, np.int64)
+                    bases = np.zeros(len(items) + 1, np.int64)
                     seps_parts = []
-                    for k, a in enumerate(arrays):
+                    for k, a in enumerate(items):
                         h.update(len(a).to_bytes(8, "little"))
                         h.update(a)
                         sp = np.flatnonzero(a == _SEP_BYTE_)
@@ -281,6 +338,10 @@ class QueryShipper:
                         if seps_parts
                         else np.zeros(0, np.int64)
                     )
+                else:
+                    packed, bases, seps = group_payload(items)
+                    key = None
+                if client is not None:
                     reply, _ = client.request(
                         {
                             "op": "qhave",
@@ -295,7 +356,8 @@ class QueryShipper:
                         self._hits += 1
                         trace(f"group {gidx} cache hit (0 bytes)")
                         continue
-                    packed, bases2, seps2 = group_payload(arrays)
+                    if packed is None:
+                        packed, _b2, _s2 = group_payload(items)
                     nbytes = packed.nbytes
                     t0 = time.time()
                     # the daemon replies only after its own sync-probed
@@ -313,7 +375,6 @@ class QueryShipper:
                     dt = float(reply.get("seconds") or time.time() - t0)
                     self._groups[gidx] = DevdGroup(gidx, bases, seps)
                 else:
-                    packed, bases, seps = group_payload(arrays)
                     nbytes = packed.nbytes
                     t0 = time.time()
                     pd = jax.device_put(packed)

@@ -87,7 +87,9 @@ class DeviceRowFeeder:
     def _init_shapes(
         self, n: int, ref_len: int, interpret: bool
     ) -> None:
-        from phylonium_tpu.ops.pallas_match import (
+        # jax-free shape math: the devd transport must not pay the
+        # jax import (~1.8 s, ~400 MB RSS) just to derive shapes
+        from phylonium_tpu.ops.shapes import (
             _MAX_COLS_PER_CALL,
             blocked_call_shape,
             bucket_cols,
@@ -244,7 +246,7 @@ class DeviceRowFeeder:
         — so the reply itself IS the shipped signal, and the per-group
         double buffering of the in-process path is unnecessary."""
         from phylonium_tpu.core.query_ship import DevdGroup
-        from phylonium_tpu.ops.pileup_device import (
+        from phylonium_tpu.ops.pileup_prep import (
             build_overlay,
             group_payload,
             prep_intervals,
@@ -283,7 +285,7 @@ class DeviceRowFeeder:
                     "l2": self.l2,
                     "width": self.width,
                 }
-                from phylonium_tpu.ops.pileup_device import (
+                from phylonium_tpu.ops.pileup_prep import (
                     _MAX_GROUP_BASES,
                 )
 

@@ -38,44 +38,20 @@ from jax.experimental.pallas import tpu as pltpu
 from phylonium_tpu.core.pileup import INVALID, N_STATES
 from phylonium_tpu.ops.match_table import MATCH_TABLE
 
-# columns per grid step; lane-dim friendly (multiple of 128)
-DEFAULT_BLOCK_COLS = 4096
-# f32 exactness bound: per-cell counts must stay below 2^24 per kernel call
-_MAX_COLS_PER_CALL = 1 << 23
-# approximate VMEM bytes available to one grid step's working set
-_VMEM_BUDGET = 12 << 20
-
-
-def default_block_cols(n_pad: int) -> int:
-    """Largest lane-aligned column block whose working set fits VMEM.
-
-    Per column the kernel holds ~2 bytes of double-buffered uint8 input,
-    4 bytes of widened i32, the 10 resident one-hot bf16 planes, and a
-    partner-sum operand per row (~48 bytes/row/column).  Rounded down to
-    a power of two so blocks always divide the power-of-two column
-    buckets (:func:`bucket_cols`).
-    """
-    per_col = 48 * n_pad
-    block = _VMEM_BUDGET // per_col
-    block = max(128, min(DEFAULT_BLOCK_COLS * 4, block))
-    return 1 << (block.bit_length() - 1)
-
-
-def bucket_cols(length: int, block: int) -> int:
-    """Pad a column count up to a power-of-two shape bucket.
-
-    Remote/tunnel XLA compiles can take minutes; bucketing makes every
-    genome of similar scale share one compiled executable (the padding
-    columns are INVALID and contribute nothing to the counts).
-    Quarter-octave granularity: at most ~4 shapes per factor of two and
-    <= 25% padding waste.  Always a multiple of ``block`` (a power of
-    two), and capped at 4M-column granularity for very long pileups.
-    """
-    n = max(length, block)
-    msb = (n - 1).bit_length()
-    q = min(1 << max(msb - 2, 7), _MAX_COLS_PER_CALL >> 1)
-    q = max(q, block)
-    return -(-n // q) * q
+# shape math (jax-free, shared with the device-server/low-mem paths):
+# re-exported here so kernel-side callers keep one import surface
+from phylonium_tpu.ops.shapes import (  # noqa: F401
+    DEFAULT_BLOCK_COLS,
+    _MAX_COLS_PER_CALL,
+    _PACKED_PAD,
+    _VMEM_BUDGET,
+    _pad_rows,
+    blocked_call_shape,
+    bucket_cols,
+    default_block_cols,
+    pack_states,
+    packed_call_shape,
+)
 
 # partners(s) = states t with MATCH_TABLE[s, t] == 1 (static)
 _PARTNERS: tuple[tuple[int, ...], ...] = tuple(
@@ -190,11 +166,6 @@ def _pallas_counts(
     # stacked [2, n, n] so callers fetch one array (every extra device
     # op / fetch is a separately compiled+loaded program on a tunnel)
     return jnp.stack((matches, homs))
-
-
-def _pad_rows(n: int) -> int:
-    # sublane-friendly row count: the uint8 input's min tile is (32, 128)
-    return max(32, -(-n // 32) * 32)
 
 
 def _cross_accumulate(mine, everyone, matches_ref, homs_ref):
@@ -314,68 +285,8 @@ def cross_counts_pallas(
 
 
 # INVALID in both nibbles — the packed padding byte
-_PACKED_PAD = INVALID | (INVALID << 4)
-
-
-def packed_call_shape(n: int, length: int) -> tuple[int, int, int]:
-    """(n_pad, block, first_chunk_cols) for the packed counting path.
-
-    Single source of truth shared by pair_counts_pallas and the compile
-    prewarm (core/pipeline.prewarm_counts) — if these derivations ever
-    drifted apart the prewarm would silently compile a useless shape.
-    """
-    n_pad = _pad_rows(n)
-    block = max(128, default_block_cols(n_pad) // 2)
-    cap = _MAX_COLS_PER_CALL // 2
-    l2 = -(-max(length, 1) // 2)
-    cols = bucket_cols(min(l2, cap), block)
-    return n_pad, block, cols
-
-
-def blocked_call_shape(
-    n: int, length: int, row_block: int = 512
-) -> tuple[int, int, int]:
-    """(rb_pad, block, first_chunk_cols) for the packed row-blocked path.
-
-    Single source of truth shared by pair_counts_pallas_blocked and the
-    compile prewarm, like :func:`packed_call_shape` for the flat path.
-    """
-    rb_pad = _pad_rows(row_block)
-    block = max(128, default_block_cols(2 * rb_pad) // 2)
-    cap = _MAX_COLS_PER_CALL // 2
-    l2 = -(-max(length, 1) // 2)
-    cols = bucket_cols(min(l2, cap), block)
-    return rb_pad, block, cols
-
-
-def pack_states(
-    states: np.ndarray, n_pad: int, width: int | None = None
-) -> np.ndarray:
-    """Split-layout nibble packing: byte [g, j] = state[g, j] |
-    state[g, j + L2] << 4 with L2 = ceil(L/2) (odd tails pad INVALID).
-    Halves transfer + HBM bytes; states are 0..10 so they fit 4 bits.
-    ``width`` right-pads with packed-INVALID columns (padding on host
-    saves a device pad program per run).
-
-    One native pass when available (the numpy formulation's temporaries
-    cost ~13 s at 1000 x 1 Mbp scale; the C++ pass is ~1 s).
-    """
-    n, length = states.shape
-    l2 = -(-max(length, 1) // 2)
-    width = max(width or l2, l2)
-    try:
-        from phylonium_tpu.native import pack_states_native
-
-        return pack_states_native(states, n_pad, width)
-    except Exception:
-        pass
-    lo = np.full((n, l2), INVALID, dtype=np.uint8)
-    hi = np.full((n, l2), INVALID, dtype=np.uint8)
-    lo[:, : min(l2, length)] = states[:, :l2]
-    hi[:, : length - l2] = states[:, l2:]
-    out = np.full((n_pad, width), _PACKED_PAD, dtype=np.uint8)
-    out[:n, :l2] = lo | (hi << 4)
-    return out
+# (_PACKED_PAD, packed_call_shape, blocked_call_shape and pack_states
+# live in ops/shapes.py — jax-free — and are re-exported above)
 
 
 def pair_counts_pallas(
