@@ -33,8 +33,9 @@ class FakeNative:
     def __init__(self, bar=None):
         self._bar = bar
 
-    def map_queries(self, batch, threshold, progress_out=None):
+    def map_queries(self, batch, threshold, progress_out=None, raw=False):
         assert threshold == 7
+        assert raw is False
         for k in range(len(batch)):
             if progress_out is not None:
                 progress_out[0] = k + 1
@@ -68,10 +69,27 @@ def test_counter_is_int64_shape_1():
     seen = {}
 
     class Probe:
-        def map_queries(self, batch, threshold, progress_out=None):
+        def map_queries(self, batch, threshold, progress_out=None, raw=False):
             seen["dtype"] = progress_out.dtype
             seen["shape"] = progress_out.shape
+            seen["raw"] = raw
             return []
 
     map_batch_native(Probe(), [], 7, FakeBar(enabled=False), base=0)
-    assert seen == {"dtype": np.dtype(np.int64), "shape": (1,)}
+    assert seen == {
+        "dtype": np.dtype(np.int64),
+        "shape": (1,),
+        "raw": False,
+    }
+
+
+def test_raw_kwarg_forwarded():
+    seen = {}
+
+    class Probe:
+        def map_queries(self, batch, threshold, progress_out=None, raw=False):
+            seen["raw"] = raw
+            return []
+
+    map_batch_native(Probe(), [], 7, FakeBar(enabled=False), base=0, raw=True)
+    assert seen == {"raw": True}
