@@ -81,8 +81,10 @@ class DevdClient:
             sock = None
         if sock is not None:
             if spawn and not self._protocol_ok(sock):
-                # a daemon from an older build: replace it (its exact
-                # pid from the pidfile — never a pattern kill)
+                # a daemon from an older build, or one whose device
+                # session is poisoned (libtpu mismatch after a terminal
+                # restart): replace it (its exact pid from the pidfile —
+                # never a pattern kill)
                 sock.close()
                 self._kill_stale()
             else:
@@ -114,6 +116,8 @@ class DevdClient:
             sock.settimeout(10.0)
             send_msg(sock, {"op": "ping"})
             reply, _ = recv_msg(sock)
+            if reply.get("poisoned"):
+                return False  # unhealable session: replace the daemon
             return reply.get("protocol") == PROTOCOL
         except OSError:
             # busy/unresponsive is not staleness; let requests decide
@@ -176,6 +180,14 @@ class DevdClient:
             except OSError as e:
                 raise DevdError(f"device server i/o failed: {e!r}")
         if not reply.get("ok"):
+            if reply.get("poisoned"):
+                # the daemon's device session is permanently broken
+                # (e.g. libtpu version mismatch after a terminal
+                # restart): retire it now so the NEXT connect spawns a
+                # fresh process that re-registers against the current
+                # terminal — this run degrades to the host path as for
+                # any other device failure
+                self._kill_stale()
             raise DevdError(
                 f"device server: {reply.get('error', 'request failed')}"
             )

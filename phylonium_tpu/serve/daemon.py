@@ -40,7 +40,27 @@ from phylonium_tpu.serve.wire import WireError, recv_msg, send_msg
 # bumped on every protocol / device-program change: a daemon left over
 # from an older build answers ping with its own stamp and the client
 # replaces it instead of hitting unknown ops or stale kernels
-PROTOCOL = "phyd-3"
+PROTOCOL = "phyd-4"
+
+# Device-session errors that can never heal within this process: the
+# daemon's PJRT client was registered against a terminal that has since
+# restarted with a different libtpu (observed in production:
+# "FAILED_PRECONDITION: libtpu version mismatch: terminal has ...,
+# client AOT libtpu" — the daemon then answered every device op with
+# the same error until its idle timeout, a 30-minute zombie).  A match
+# marks the daemon poisoned: it tells the client (which retires it) and
+# exits, so the next spawn re-registers against the CURRENT terminal.
+_POISON_MARKS = (
+    "libtpu version mismatch",
+    "plugin version mismatch",
+    "incompatible pjrt",
+    "pjrt api version",
+)
+
+
+def _is_poison(err: str) -> bool:
+    low = err.lower()
+    return any(m in low for m in _POISON_MARKS)
 
 
 def sock_path() -> str:
@@ -54,6 +74,7 @@ class _State:
     def __init__(self):
         self.warm = False
         self.platform = None
+        self.poisoned: str | None = None  # unhealable session error
         # per-run device state: run -> {"groups": {gidx: (pd, sd)},
         #                               "chunks": {seq: chunk}}
         self.runs: dict = {}
@@ -108,6 +129,8 @@ def _warmup(state: _State) -> None:
         state.warm = True
     except Exception as e:  # noqa: BLE001 — daemon stays up, unwarm
         sys.stderr.write(f"devd: warmup failed: {e!r}\n")
+        if _is_poison(repr(e)):
+            state.poisoned = repr(e)[:300]
 
 
 def _handle(state: _State, header: dict, arrays: list):
@@ -120,13 +143,28 @@ def _handle(state: _State, header: dict, arrays: list):
             "platform": state.platform,
             "pid": os.getpid(),
             "protocol": PROTOCOL,
+            "poisoned": state.poisoned,
             "qcache_mb": round(state.qcache_bytes / 1e6, 1),
             "qcache_groups": len(state.qcache),
+        }, []
+
+    if state.poisoned:
+        # the session can never heal in this process: answer every
+        # device op with the poison so the client retires this daemon
+        return {
+            "ok": False,
+            "error": state.poisoned,
+            "poisoned": True,
         }, []
 
     if op == "probe":
         # verified link-bandwidth probe through the warm session:
         # random bytes (the tunnel compresses), fetched back
+        if os.environ.get("PHYLONIUM_TPU_DEVD_INJECT") == "poison":
+            raise RuntimeError(
+                "FAILED_PRECONDITION: libtpu version mismatch: "
+                "terminal has X, client AOT libtpu (injected fault)"
+            )
         mb = int(header.get("mb", 16))
         rng = np.random.default_rng(int(header.get("seed", 0)))
         data = rng.integers(0, 256, mb << 20).astype(np.uint8)
@@ -306,6 +344,9 @@ def serve(path: str | None = None, idle_s: float | None = None) -> int:
             try:
                 conn, _ = srv.accept()
             except socket.timeout:
+                if state.poisoned:
+                    sys.stderr.write("devd: poisoned, exiting\n")
+                    return 0
                 if time.time() - activity["t"] > idle_s:
                     sys.stderr.write("devd: idle timeout, exiting\n")
                     return 0
@@ -343,7 +384,19 @@ def _serve_conn(state: _State, conn: socket.socket, activity) -> None:
             try:
                 reply, out = _handle(state, header, arrays)
             except Exception as e:  # noqa: BLE001 — stay up
-                reply, out = {"ok": False, "error": repr(e)[:500]}, []
+                err = repr(e)[:500]
+                reply, out = {"ok": False, "error": err}, []
+                if _is_poison(err) and state.poisoned is None:
+                    # unhealable session (terminal restarted under us):
+                    # tell the client, then let the accept loop exit so
+                    # the next spawn re-registers against the current
+                    # terminal instead of zombieing until idle timeout
+                    state.poisoned = err[:300]
+                    sys.stderr.write(
+                        f"devd: session poisoned, exiting: {err}\n"
+                    )
+            if state.poisoned:
+                reply.setdefault("poisoned", True)
             try:
                 send_msg(conn, reply, out)
             except OSError:

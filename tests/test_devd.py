@@ -221,6 +221,52 @@ def test_shipper_devd_and_second_pass_reuse(rng, devd_env, monkeypatch):
     np.testing.assert_array_equal(homs, eh)
 
 
+def test_poisoned_daemon_tells_client_and_exits(tmp_path, monkeypatch):
+    """An unhealable device-session error (libtpu version mismatch after
+    a terminal restart — observed in production) must not leave a
+    zombie daemon answering every op with the same error until its idle
+    timeout: the daemon marks itself poisoned, the client retires it,
+    and the daemon process exits so the next spawn re-registers."""
+    from phylonium_tpu.serve.client import DevdClient, DevdError
+
+    sock = str(tmp_path / "devd.sock")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
+    env["PHYLONIUM_TPU_DEVD_SOCK"] = sock
+    env["PHYLONIUM_TPU_PLATFORM"] = "cpu"
+    env["PHYLONIUM_TPU_DEVD_INJECT"] = "poison"
+    log = open(tmp_path / "devd.log", "wb")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "phylonium_tpu.serve"],
+        stdout=log, stderr=log, env=env,
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and not os.path.exists(sock):
+            assert proc.poll() is None, "daemon died before serving"
+            time.sleep(0.1)
+        monkeypatch.setenv("PHYLONIUM_TPU_DEVD_SOCK", sock)
+        c = DevdClient(spawn=False)
+        assert c.ping(timeout=30.0)["poisoned"] is None
+        with pytest.raises(DevdError, match="libtpu version mismatch"):
+            c.request({"op": "probe", "mb": 1}, timeout=30.0)
+        # a later op on the same connection raises too (poison marker,
+        # or a broken pipe when the daemon already exited)
+        with pytest.raises(DevdError):
+            c.request({"op": "qhave", "run": "r", "gidx": 0, "key": "k"})
+        c.close()
+        # the client retired the daemon (SIGTERM via its pidfile); if
+        # the client had died first, the daemon exits on its own within
+        # one accept-timeout tick (rc 0)
+        assert proc.wait(timeout=30) in (0, -signal.SIGTERM)
+        assert not os.path.exists(sock + ".pid")
+    finally:
+        if proc.poll() is None:
+            proc.send_signal(signal.SIGTERM)
+            proc.wait(timeout=10)
+        log.close()
+
+
 def _write_panel(tmp_path, n, length, seed):
     rng = np.random.default_rng(seed)
     base = rng.integers(0, 4, length)
