@@ -37,6 +37,15 @@ def test_bench_survives_injected_micro_aborts():
     assert detail["value_source"].startswith("t_compare_first")
     # the pipeline phases themselves ran
     assert detail["t_map"] > 0
+    # a failed flagship measurement must be visible at the TOP level —
+    # a clean-looking JSON must not hide it (VERDICT r4)
+    assert parsed["degraded"] is True
+    assert any(r.startswith("steady") for r in parsed["degraded_reasons"])
+    # decorations do not degrade the run on their own
+    assert not any(
+        r.startswith(("anchor_extend", "cross512"))
+        for r in parsed["degraded_reasons"]
+    )
 
 
 def test_bench_survives_wedged_tunnel_probe():
@@ -91,3 +100,22 @@ def test_bench_budget_zero_still_prints_json():
     skips = parsed["detail"]["micro_failures"]
     assert skips.get("anchor_extend", "").startswith("skipped")
     assert skips.get("cross512", "").startswith("skipped")
+
+
+def test_bench_lowmem_tier_subset_parity(monkeypatch):
+    """The n=1000 tier's subset-parity rule at toy scale: with the
+    reference genome pinned (-r both sides), the oracle run on a genome
+    SUBSET must match our full-panel matrix cell-for-cell on the shared
+    pairs (pair distances depend only on the two genomes + reference,
+    src/process.cxx:524-549)."""
+    sys.path.insert(0, REPO)
+    monkeypatch.setenv("PHYLONIUM_TPU_PLATFORM", "cpu")
+    import bench
+
+    r = bench.e2e_lowmem_tier(
+        n=24, length=9000, seed=5, timeout_s=240, oracle_k=5
+    )
+    assert r, "tier returned nothing (oracle missing?)"
+    assert r["e2e_n24_subset_identical"] is True
+    assert r["e2e_n24_rss_mb"] and r["e2e_n24_rss_mb"] > 0
+    assert r["e2e_n24_tpu_s"] > 0
