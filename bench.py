@@ -559,7 +559,12 @@ def micro_steady(args: dict) -> dict:
     """Steady-state kernel timing: a serialized fori_loop chain (each
     iteration's input depends on the previous result) inside one jit.
     Naive re-dispatch timing over the remote-device tunnel reports
-    impossible numbers (async dispatch); a dependency chain cannot lie."""
+    impossible numbers (async dispatch); a dependency chain cannot lie.
+
+    Times the PRODUCTION packed path (split-nibble layout, same
+    ``packed_call_shape`` as pair_counts_pallas) so the shipped bytes
+    are halved and the inner kernel is the exact program the e2e tiers
+    run — not a lookalike with its own multi-minute tunnel compile."""
     _micro_inject("steady")
     import jax
     import jax.numpy as jnp
@@ -569,6 +574,8 @@ def micro_steady(args: dict) -> dict:
         _pad_rows,
         _pallas_counts,
         default_block_cols,
+        pack_states,
+        packed_call_shape,
     )
     from phylonium_tpu.utils.cache import enable_compile_cache
 
@@ -576,27 +583,37 @@ def micro_steady(args: dict) -> dict:
     states = np.load(args["npy"], mmap_mode="r")
     n, length = states.shape
     use_pallas = jax.devices()[0].platform == "tpu"
-    n_pad = _pad_rows(n)
-    block = default_block_cols(n_pad)
-    lpad = (-length) % block
-    padded = jnp.asarray(
-        np.pad(
-            states,
-            ((0, n_pad - n), (0, lpad)),
-            constant_values=10,
+    if use_pallas:
+        n_pad, block, cols = packed_call_shape(n, length)
+        padded = jnp.asarray(
+            pack_states(np.asarray(states), n_pad, cols)
         )
-    )
+    else:
+        n_pad = _pad_rows(n)
+        block = default_block_cols(n_pad)
+        padded = jnp.asarray(
+            np.pad(
+                states,
+                ((0, n_pad - n), (0, (-length) % block)),
+                constant_values=10,
+            )
+        )
     jax.block_until_ready(padded)
     reps = 10
 
     def chained(states):
         def body(i, carry):
             acc, s = carry
+            # the dependency: one byte of the input is rewritten from
+            # the previous result (values 0..10 are valid packed bytes:
+            # lo nibble 0..10, hi nibble 0)
             s = lax.dynamic_update_slice(
                 s, (acc[:1, :1] % 11).astype(jnp.uint8), (0, 0)
             )
             if use_pallas:
-                m = _pallas_counts(s, block)[0].astype(jnp.int32)
+                m = _pallas_counts(s, block, packed=True)[0].astype(
+                    jnp.int32
+                )
             else:
                 from phylonium_tpu.ops.match_matrix import (
                     _pair_counts_scanned,
@@ -1276,15 +1293,13 @@ def _run_bench(n, length, detail, failures):
         # operand uses a quarter of the 128x128 MXU's rows — see
         # ARCHITECTURE.md "MFU and rooflines".
         try:
-            from phylonium_tpu.ops.pallas_match import (
-                _pad_rows,
-                default_block_cols,
-            )
+            from phylonium_tpu.ops.pallas_match import packed_call_shape
 
-            n_pad = _pad_rows(n)
-            blk = default_block_cols(n_pad)
-            l_pad = length + (-length) % blk
-            flops = 22.0 * n_pad * n_pad * l_pad
+            # steady times the packed production shape: cols packed
+            # bytes = 2*cols logical pair-columns after the in-kernel
+            # nibble split
+            n_pad, _blk, cols = packed_call_shape(n, length)
+            flops = 22.0 * n_pad * n_pad * (2 * cols)
             detail["mxu_util_pct"] = round(
                 flops / t_compare / 197e12 * 100, 2
             )
