@@ -1273,6 +1273,21 @@ def _compare_and_finish(
     bar.finish()
 
     if feeder is not None and feeder._shipper is not None:
+        drain_env = os.environ.get("PHYLONIUM_TPU_SHIP_DRAIN")
+        if (
+            drain_env
+            and feeder._shipper.transport == "devd"
+            and not feeder._shipper._cancelled
+        ):
+            # cold-run seeding (see QueryShipper.drain): stay alive
+            # until the whole panel is parked in the device server, so
+            # the next run of this panel ships zero bytes
+            t_dr = time.time()
+            complete = feeder._shipper.drain(float(drain_env))
+            LAST_RUN_INFO["ship_drain"] = {
+                "complete": complete,
+                "s": round(time.time() - t_dr, 2),
+            }
         mb_s = feeder._shipper.achieved_mb_s()
         LAST_RUN_INFO["early_ship"] = {
             "groups": feeder._shipper.shipped_groups(),

@@ -444,6 +444,38 @@ class QueryShipper:
             return None
         return self._bytes / 1e6 / self._seconds
 
+    def drain(self, timeout_s: float) -> bool:
+        """Block until every enqueued group is verified on the device,
+        the shipper gives up, or the deadline passes; returns whether
+        the whole panel made it.
+
+        This is the cold-run seeding hook (PHYLONIUM_TPU_SHIP_DRAIN):
+        normally a run exits the moment the host leg wins the compare
+        race, killing this daemon thread mid-queue — so on a slow link
+        window the device server's content cache fills only a couple of
+        groups per run.  A drained run stays alive until the whole
+        panel is parked in the daemon, making the NEXT run of the same
+        panel ship 0 bytes (content keys are run-independent)."""
+        stall_s = float(
+            os.environ.get("PHYLONIUM_TPU_SHIP_DRAIN_STALL", 90.0)
+        )
+        deadline = time.time() + timeout_s
+        last_progress = time.time()
+        last_done = len(self._verified)
+        while time.time() < deadline and not self._cancelled:
+            if not self._pending and len(self._verified) >= self._enqueued:
+                return True
+            done = len(self._verified)
+            if done != last_done:
+                last_done, last_progress = done, time.time()
+            elif time.time() - last_progress > stall_s:
+                # no group verified for stall_s: the daemon/tunnel is
+                # unhealthy this window — burning the rest of the
+                # timeout seeds nothing
+                return False
+            time.sleep(0.25)
+        return not self._pending and len(self._verified) >= self._enqueued
+
     def cancel(self) -> None:
         """Stop packing/shipping (the run went elsewhere: host-only
         dispatch, mesh handoff, or a non-streamable flag combination)."""

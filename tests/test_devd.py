@@ -221,6 +221,28 @@ def test_shipper_devd_and_second_pass_reuse(rng, devd_env, monkeypatch):
     np.testing.assert_array_equal(homs, eh)
 
 
+def test_shipper_drain_parks_whole_panel(rng, devd_env, monkeypatch):
+    """drain() blocks until every enqueued group is verified in the
+    daemon (the cold-run seeding hook, PHYLONIUM_TPU_SHIP_DRAIN): a
+    fresh shipper over the same queries must then be all cache hits."""
+    from phylonium_tpu.core.query_ship import QueryShipper
+
+    n = 9
+    queries, _ = _panel(rng, n, 600)
+    monkeypatch.setenv("PHYLONIUM_TPU_STREAM_GROUP", "3")
+    shipper = QueryShipper(n)
+    for q in queries:
+        shipper.add(q)
+    assert shipper.drain(30.0) is True
+    assert shipper.shipped_groups() == 3
+
+    shipper2 = QueryShipper(n)
+    for q in queries:
+        shipper2.add(q)
+    assert shipper2.drain(30.0) is True
+    assert shipper2._hits == 3 and shipper2.shipped_bytes() == 0
+
+
 def test_poisoned_daemon_tells_client_and_exits(tmp_path, monkeypatch):
     """An unhealable device-session error (libtpu version mismatch after
     a terminal restart — observed in production) must not leave a
