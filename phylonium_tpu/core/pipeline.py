@@ -1267,6 +1267,10 @@ def _compare_and_finish(
             subs, homs = _race_host(
                 states, lambda: feeder.finish(progress), progress
             )
+            if feeder.devd_count_s is not None:
+                # daemon-side count time of a COMPLETED device finish —
+                # the measured warm tail the dispatch gates care about
+                LAST_RUN_INFO["devd_count_s"] = feeder.devd_count_s
     else:
         subs, homs = pair_counts(states, cfg, progress=progress)
     timings["compare"] = time.time() - t0
@@ -1283,11 +1287,39 @@ def _compare_and_finish(
             # until the whole panel is parked in the device server, so
             # the next run of this panel ships zero bytes
             t_dr = time.time()
-            complete = feeder._shipper.drain(float(drain_env))
-            LAST_RUN_INFO["ship_drain"] = {
+            budget = float(drain_env)
+            complete = feeder._shipper.drain(budget)
+            drain_info = {
                 "complete": complete,
                 "s": round(time.time() - t_dr, 2),
             }
+            left = budget - (time.time() - t_dr)
+            if (
+                complete
+                and left > 30.0
+                and LAST_RUN_INFO.get("compare_carrier") != "device"
+            ):
+                # content is parked but the daemon never finished a
+                # count at this shape (the race's abandoned device leg
+                # may still be compiling): block until its jit cache is
+                # hot, so the NEXT run's device leg starts with zero
+                # compiles instead of losing the race to them
+                try:
+                    from phylonium_tpu.serve.client import get_client
+
+                    reply, _ = get_client().request(
+                        {
+                            "op": "prewarm",
+                            "n": n,
+                            "ref_len": int(states.shape[1]),
+                            "sync": True,
+                        },
+                        timeout=left,
+                    )
+                    drain_info["prewarm_s"] = reply.get("seconds")
+                except Exception as e:  # noqa: BLE001 — best-effort
+                    drain_info["prewarm_error"] = repr(e)[:120]
+            LAST_RUN_INFO["ship_drain"] = drain_info
         mb_s = feeder._shipper.achieved_mb_s()
         LAST_RUN_INFO["early_ship"] = {
             "groups": feeder._shipper.shipped_groups(),

@@ -144,6 +144,7 @@ class DeviceRowFeeder:
         self._closed = False
         self._gave_up = False
         self._error: BaseException | None = None
+        self.devd_count_s = None  # daemon-side finish time (devd runs)
         # unbounded by default: groups are views into the host states
         # matrix (no copies), and a degraded tunnel window must stall
         # the worker only — never the mapping loop behind a full queue.
@@ -384,6 +385,9 @@ class DeviceRowFeeder:
                     "block": self.block,
                 }
             )
+            # daemon-side count time (forces builds + kernels + fetch);
+            # the carrier report separates it from client socket waits
+            self.devd_count_s = reply.get("seconds")
             if progress is not None:
                 progress(1.0)
             return subs, homs

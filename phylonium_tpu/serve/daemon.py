@@ -40,7 +40,7 @@ from phylonium_tpu.serve.wire import WireError, recv_msg, send_msg
 # bumped on every protocol / device-program change: a daemon left over
 # from an older build answers ping with its own stamp and the client
 # replaces it instead of hitting unknown ops or stale kernels
-PROTOCOL = "phyd-4"
+PROTOCOL = "phyd-5"
 
 # Device-session errors that can never heal within this process: the
 # daemon's PJRT client was registered against a terminal that has since
@@ -260,11 +260,17 @@ def _handle(state: _State, header: dict, arrays: list):
         kw = dict(
             block=int(header["block"]), interpret=cpu_pinned()
         )
+        t0 = time.time()
         if header.get("flat"):
             subs, homs = flat_counts_device(chunks, n, **kw)
         else:
             subs, homs = blocked_counts_device(chunks, n, **kw)
-        return {"ok": True}, [subs, homs]
+        # the daemon-side count time (forces the async chunk builds,
+        # runs the kernels, fetches the counts) — the client's race
+        # observability separates socket/wait time from device time
+        return {"ok": True, "seconds": round(time.time() - t0, 3)}, [
+            subs, homs,
+        ]
 
     if op == "cancel":
         st = state.runs.get(header.get("run"))
@@ -274,8 +280,21 @@ def _handle(state: _State, header: dict, arrays: list):
 
     if op == "prewarm":
         # compile (and persist) the streamed program family for this
-        # panel shape in the BACKGROUND: group builds arriving on this
+        # panel shape.  sync=true (the cold-run drain's seeding hook,
+        # pipeline._compare_and_finish) blocks until the daemon's
+        # in-memory jit cache is hot for this shape, so the NEXT run's
+        # device leg races with zero compiles; otherwise the compile
+        # runs in the BACKGROUND and group builds arriving on this
         # connection meanwhile only need device_put + the tiny probe
+        if header.get("sync"):
+            from phylonium_tpu.core.stream import prewarm_panel
+
+            t0 = time.time()
+            prewarm_panel(int(header["n"]), int(header["ref_len"]))
+            return {
+                "ok": True, "seconds": round(time.time() - t0, 2),
+            }, []
+
         def _warm():
             try:
                 from phylonium_tpu.core.stream import prewarm_panel

@@ -173,6 +173,26 @@ def test_feeder_devd_matches_oracle(rng, devd_env):
     es, eh = pair_counts_numpy(states)
     np.testing.assert_array_equal(subs, es)
     np.testing.assert_array_equal(homs, eh)
+    # the daemon reports its count time; the race observability and
+    # the dispatch gates read it back as the measured device tail
+    assert isinstance(feeder.devd_count_s, float)
+
+
+def test_prewarm_sync_blocks_until_compiled(devd_env):
+    """prewarm {sync: true} (the cold-run drain's seeding hook) must
+    reply only after the daemon's program family for the shape is
+    compiled — the reply carries the measured compile seconds."""
+    from phylonium_tpu.serve.client import DevdClient
+
+    c = DevdClient(spawn=False)
+    try:
+        reply, _ = c.request(
+            {"op": "prewarm", "n": 6, "ref_len": 500, "sync": True},
+            timeout=120.0,
+        )
+        assert reply["ok"] and isinstance(reply["seconds"], float)
+    finally:
+        c.close()
 
 
 def test_shipper_devd_and_second_pass_reuse(rng, devd_env, monkeypatch):
