@@ -1158,7 +1158,10 @@ def _run_bench(n, length, detail, failures):
         tiers = []
         if os.environ.get("PHYLONIUM_TPU_BENCH_TIER3", "1") != "0":
             tiers.append((600, 1_000_000, 1, 700, 67, 2, 300.0))
-        tiers.append((4 * n, length, 1, 460, 61, 1, 150.0))
+        # n=116: two warm reps + a drain budget that covers the one-time
+        # sync prewarm of this shape family (~90-150 s on a cold compile
+        # cache), so at least one warm rep races a fully hot daemon
+        tiers.append((4 * n, length, 1, 460, 61, 2, 240.0))
         for large_n, tier_len, runs, tmo, seed, extra, drain in tiers:
             need = tmo + 120
             if _elapsed() > _BUDGET_S - need:

@@ -501,11 +501,14 @@ def _stream_predicts_win(n: int, ref_len: int, cfg: RunConfig):
     if devd_enabled():
         # the device server's content cache makes shipping an
         # AMORTIZED-zero cost: groups already parked there ship 0
-        # bytes, and misses shipped now are the next run's hits.  So
-        # the gate only asks whether the device can beat the host at
-        # all (the compare-time race settles each individual window,
-        # bit-identically).
-        win = t_host > 1.3 * _DEVICE_TAIL_S
+        # bytes, and misses shipped now are the next run's hits — and
+        # the devd race leg is socket waits, so engaging costs the
+        # host leg ~nothing.  The gate therefore only excludes panels
+        # the device CANNOT win: measured warm daemon counts are
+        # ~0.25-0.5 s (devd_count_s in run reports), so any host
+        # compare above the fixed tail is worth racing — the race
+        # settles each individual window, bit-identically.
+        win = t_host > _DEVICE_TAIL_S
         LAST_RUN_INFO["stream_model"] = {
             "link_mb_s": round(link, 2),
             "t_host_s": round(t_host, 3),

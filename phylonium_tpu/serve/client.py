@@ -174,10 +174,21 @@ class DevdClient:
     ) -> tuple[dict, list[np.ndarray]]:
         with self._lock:
             try:
+                if self._sock is None:
+                    self._sock = self._try_connect(2.0)
                 self._sock.settimeout(timeout)
                 send_msg(self._sock, header, arrays)
                 reply, out = recv_msg(self._sock)
             except OSError as e:
+                # the connection is now desynced (a timed-out request's
+                # reply may still arrive and would be read as the NEXT
+                # request's answer): drop it; the next request reconnects
+                if self._sock is not None:
+                    try:
+                        self._sock.close()
+                    except Exception:  # noqa: BLE001
+                        pass
+                    self._sock = None
                 raise DevdError(f"device server i/o failed: {e!r}")
         if not reply.get("ok"):
             if reply.get("poisoned"):
@@ -198,6 +209,8 @@ class DevdClient:
         return reply
 
     def close(self) -> None:
+        if self._sock is None:
+            return
         try:
             self._sock.close()
         except OSError:
