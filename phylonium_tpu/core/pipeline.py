@@ -1267,6 +1267,32 @@ def _compare_and_finish(
             _set_carrier("host")
             subs, homs = pair_counts_host(states, progress=progress)
         else:
+            shipper = feeder._shipper
+            if (
+                feeder._devd
+                and shipper is not None
+                and shipper._enqueued > 0
+                and shipper._hits == shipper._enqueued
+            ):
+                # fully cache-warm run (every group was a daemon
+                # content hit): let the worker drain the tail group's
+                # prep + dispatch uncontended before the host leg
+                # claims the core — the device leg then only waits on
+                # the daemon's sub-second count
+                _g0 = time.time()
+                ok = feeder.wait_dispatched(
+                    float(
+                        os.environ.get(
+                            "PHYLONIUM_TPU_RACE_GRACE_S", "3.0"
+                        )
+                    )
+                )
+                if os.environ.get("PHYLONIUM_TPU_DEBUG"):
+                    print(
+                        f"race grace: waited {time.time() - _g0:.2f}s "
+                        f"drained={ok}",
+                        file=sys.stderr,
+                    )
             subs, homs = _race_host(
                 states, lambda: feeder.finish(progress), progress
             )

@@ -253,6 +253,16 @@ class DeviceRowFeeder:
             prep_intervals,
         )
 
+        import time
+
+        debug = os.environ.get("PHYLONIUM_TPU_DEBUG")
+
+        def trace(msg):
+            if debug:
+                import sys
+
+                print(f"row feeder: {msg}", file=sys.stderr)
+
         try:
             from phylonium_tpu.serve.client import get_client
 
@@ -303,14 +313,20 @@ class DeviceRowFeeder:
                 else:
                     packed, bases, seps = group_payload(queries)
                     extra = [packed]
+                t0 = time.time()
                 intervals = prep_intervals(
                     homologies, bases, self.ref_len, pad_rows
                 )
                 orow, ocol, oval = build_overlay(
                     intervals, queries, bases, seps, self.ref_len
                 )
+                t1 = time.time()
                 client.request(
                     header, [intervals, orow, ocol, oval, *extra]
+                )
+                trace(
+                    f"group @{lo} prep {t1 - t0:.2f}s "
+                    f"request {time.time() - t1:.2f}s"
                 )
                 self._shipped += 1
             except BaseException as e:  # noqa: BLE001
@@ -322,6 +338,24 @@ class DeviceRowFeeder:
     def shipped_fraction(self) -> float:
         """Fraction of enqueued groups verifiably resident on device."""
         return self._shipped / max(self._enqueued, 1)
+
+    def wait_dispatched(self, timeout_s: float) -> bool:
+        """Wait briefly for the worker queue to drain (typically just
+        the tail group's interval prep + build dispatch).  Called
+        BEFORE the compare race's host leg starts on warm device-server
+        runs: the ~1 s of host-side prep left in the queue would
+        otherwise stretch 3-4x under single-core contention with the
+        host leg, inflating the device leg's observed tail."""
+        import time
+
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            if self._error is not None or self._gave_up:
+                return False
+            if self._q.unfinished_tasks == 0:
+                return True
+            time.sleep(0.02)
+        return False
 
     def feed(self, queries: list, homologies: list) -> None:
         """Enqueue a mapped group: the next ``len(queries)`` genomes'
@@ -353,12 +387,14 @@ class DeviceRowFeeder:
         """Block until every group is shipped, then count on device —
         concat + panels + kernels fused into single dispatches (eager
         op composition costs a remote program + round trip PER OP on a
-        tunnelled deployment)."""
-        from phylonium_tpu.ops.pallas_match import (
-            blocked_counts_device,
-            flat_counts_device,
-        )
+        tunnelled deployment).
 
+        The kernel import stays INSIDE the in-process branch: the devd
+        transport never touches jax, and importing ops.pallas_match here
+        pulls jax in (~2-4 s of GIL-held CPU) — measured to starve the
+        compare race's device leg for exactly that long on the 1-core
+        host while the host leg crunched.
+        """
         self._closed = True  # worker stops syncing; counting syncs all
         self._q.join()  # all groups dispatched (chunks list complete)
         self._q.put(None)  # worker exits
@@ -374,8 +410,11 @@ class DeviceRowFeeder:
                 f"feeder got {self._rows_done} rows for {self.n} genomes"
             )
         if self._devd:
+            import time
+
             from phylonium_tpu.serve.client import get_client
 
+            t0 = time.time()
             reply, (subs, homs) = get_client().request(
                 {
                     "op": "finish",
@@ -385,12 +424,25 @@ class DeviceRowFeeder:
                     "block": self.block,
                 }
             )
+            if os.environ.get("PHYLONIUM_TPU_DEBUG"):
+                import sys
+
+                print(
+                    f"row feeder: finish wire {time.time() - t0:.2f}s "
+                    f"(daemon {reply.get('seconds')}s)",
+                    file=sys.stderr,
+                )
             # daemon-side count time (forces builds + kernels + fetch);
             # the carrier report separates it from client socket waits
             self.devd_count_s = reply.get("seconds")
             if progress is not None:
                 progress(1.0)
             return subs, homs
+        from phylonium_tpu.ops.pallas_match import (
+            blocked_counts_device,
+            flat_counts_device,
+        )
+
         chunks = tuple(self._chunks)
         if self.flat:
             return flat_counts_device(
