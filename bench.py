@@ -1171,14 +1171,20 @@ def _run_bench(n, length, detail, failures):
                 _mark(f"SKIP e2e tier n={large_n} (budget)")
                 continue
             _mark(f"e2e tier n={large_n} x {tier_len}")
-            # the PLANNED dispatch (work-based rule); the per-run
-            # e2e_n*_carriers field reports what actually carried the
-            # compare — they differ when a degraded tunnel forces the
-            # host fallback mid-run
+            # the PLANNED dispatch (the streamed gate when it predicts,
+            # else the serial work rule); the per-run e2e_n*_carriers
+            # field reports what actually carried the compare — they
+            # differ when a degraded tunnel forces the host fallback
+            # mid-run, or the race settles a marginal window
+            from phylonium_tpu.core.pipeline import _stream_predicts_win
+
+            stream_win = _stream_predicts_win(large_n, tier_len, cfg)
+            if stream_win is None:
+                stream_win = not _auto_prefers_host(
+                    large_n, tier_len, cfg
+                )
             detail[f"e2e_n{large_n}_dispatch"] = (
-                "host"
-                if _auto_prefers_host(large_n, tier_len, cfg)
-                else "device"
+                "device" if stream_win else "host"
             )
             prewarm_shape(large_n, tier_len)  # subprocess hits the cache
             tier = guard(
@@ -1276,7 +1282,11 @@ def _run_bench(n, length, detail, failures):
         _mark("micro: cross512")
         cross = run_micro(
             "cross512", {"length": length}, failures,
-            timeout_s=_clamp(420), retries=0,
+            timeout_s=_clamp(420),
+            # it carries the blocked MFU: worth one retry when the
+            # budget can absorb a full second attempt (r5: a single
+            # flaky window erased the field with rc 0)
+            retries=1 if _rem() > 960 else 0,
         )
         detail["cross512_tbp_s"] = cross.get("cross512_tbp_s")
         # blocked-path MFU at the production 512-row shape (VERDICT r4)
