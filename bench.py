@@ -381,6 +381,9 @@ def e2e_lowmem_tier(
     seed=71,
     timeout_s: int = 600,
     oracle_k: int = 12,
+    extra_tpu: int = 1,
+    drain_first_s: float | None = 180.0,
+    deadline_s: float | None = None,
 ) -> dict:
     """BASELINE config 5: a 1000-genome panel through the bounded-RSS
     low-memory pipeline (core/lowmem.py), wall-clocked with peak RSS,
@@ -391,7 +394,13 @@ def e2e_lowmem_tier(
     reference (src/process.cxx:524-549 compares homology lists
     pairwise), so the oracle run on {first oracle_k files} must produce
     cell-for-cell identical formatted values — at O(k^2) oracle cost
-    instead of the unpayable O(n^2)."""
+    instead of the unpayable O(n^2).
+
+    ``extra_tpu`` warm reps mirror the flagship tiers: the first (cold)
+    run drains its compacted query groups into the device server and
+    sync-prewarms the n-shape program family (``drain_first_s``), so
+    the warm rep races a hot daemon — the device-carried bounded-RSS
+    configuration BASELINE config 5 asks for."""
     import shutil
     import subprocess
     import tempfile
@@ -425,32 +434,56 @@ def e2e_lowmem_tier(
             " % (rc, r.ru_maxrss/1024.0));"
             "sys.exit(rc)"
         )
-        t0 = time.time()
-        r_ours = subprocess.run(
-            [
-                sys.executable, "-c", wrapper,
-                sys.executable, "-m", "phylonium_tpu",
-                "-r", files[0], *files,
-            ],
-            capture_output=True, timeout=timeout_s, cwd=tmp, env=env,
-        )
-        t_ours = time.time() - t0
-        if r_ours.returncode:
-            sys.stderr.write(
-                f"e2e_n{n} ours failed rc={r_ours.returncode} "
-                f"stderr={r_ours.stderr[-400:]!r}\n"
+        times, rsss, carriers, ships = [], [], [], []
+        stdout0 = None
+        drain_info = None
+        for k in range(1 + extra_tpu):
+            if k and deadline_s is not None:
+                left = deadline_s - _elapsed()
+                if left < timeout_s / 2 + 60:
+                    break  # budget: cold run + parity already recorded
+            run_env = dict(env)
+            if k == 0 and drain_first_s:
+                run_env["PHYLONIUM_TPU_SHIP_DRAIN"] = str(drain_first_s)
+            t0 = time.time()
+            r_ours = subprocess.run(
+                [
+                    sys.executable, "-c", wrapper,
+                    sys.executable, "-m", "phylonium_tpu",
+                    "-r", files[0], *files,
+                ],
+                capture_output=True,
+                timeout=timeout_s + (drain_first_s or 0 if k == 0 else 0),
+                cwd=tmp, env=run_env,
             )
-            return {}
-        rss_mb = None
-        for ln in r_ours.stderr.splitlines():
-            if ln.startswith(b"RSSWRAP "):
-                rss_mb = float(ln.split()[2])
-        carrier = None
-        try:
-            with open(report) as f:
-                carrier = json.load(f).get("compare_carrier")
-        except Exception:
-            pass
+            t_ours = time.time() - t0
+            if r_ours.returncode:
+                sys.stderr.write(
+                    f"e2e_n{n} ours failed rc={r_ours.returncode} "
+                    f"stderr={r_ours.stderr[-400:]!r}\n"
+                )
+                if k == 0:
+                    return {}
+                break
+            if stdout0 is None:
+                stdout0 = r_ours.stdout
+            elif r_ours.stdout != stdout0:
+                sys.stderr.write(f"e2e_n{n}: rep {k} stdout differs!\n")
+                return {}
+            times.append(round(t_ours, 2))
+            for ln in r_ours.stderr.splitlines():
+                if ln.startswith(b"RSSWRAP "):
+                    rsss.append(float(ln.split()[2]))
+            try:
+                with open(report) as f:
+                    rep = json.load(f)
+                carriers.append(rep.get("compare_carrier"))
+                ships.append(rep.get("early_ship"))
+                if k == 0:
+                    drain_info = rep.get("ship_drain")
+            except Exception:
+                carriers.append(None)
+                ships.append(None)
 
         t0 = time.time()
         r_ref = subprocess.run(
@@ -460,7 +493,7 @@ def e2e_lowmem_tier(
         t_ref_subset = time.time() - t0
         if r_ref.returncode:
             return {}
-        ours = _parse_phylip(r_ours.stdout)
+        ours = _parse_phylip(stdout0)
         oracle = _parse_phylip(r_ref.stdout)
         names = sorted(oracle)
         identical = all(
@@ -468,15 +501,21 @@ def e2e_lowmem_tier(
             for a in names
             for b in names
         )
-        return {
-            f"e2e_n{n}_tpu_s": round(t_ours, 2),
+        out = {
+            f"e2e_n{n}_tpu_s": min(times),
+            f"e2e_n{n}_tpu_runs": times,
             f"e2e_n{n}_write_s": round(t_write, 2),
-            f"e2e_n{n}_rss_mb": rss_mb,
-            f"e2e_n{n}_carrier": carrier,
+            f"e2e_n{n}_rss_mb": max(rsss) if rsss else None,
+            f"e2e_n{n}_carrier": carriers[-1] if carriers else None,
+            f"e2e_n{n}_carriers": carriers,
+            f"e2e_n{n}_early_ship": ships,
             f"e2e_n{n}_ref_subset_k": oracle_k,
             f"e2e_n{n}_ref_subset_s": round(t_ref_subset, 2),
             f"e2e_n{n}_subset_identical": identical,
         }
+        if drain_info is not None:
+            out[f"e2e_n{n}_ship_drain"] = drain_info
+        return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1252,7 +1291,10 @@ def _run_bench(n, length, detail, failures):
             detail.update(
                 guard(
                     "e2e_n1000",
-                    lambda: e2e_lowmem_tier(timeout_s=_clamp(480)),
+                    lambda: e2e_lowmem_tier(
+                        timeout_s=_clamp(480, reserve=240),
+                        deadline_s=_BUDGET_S,
+                    ),
                     failures, {},
                 )
             )

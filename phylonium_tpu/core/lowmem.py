@@ -251,11 +251,20 @@ def map_count_lowmem(
     )
     progress = lambda f: cbar.update(int(f * num_comparisons))  # noqa: E731
 
+    from phylonium_tpu.core.pipeline import (
+        LAST_RUN_INFO,
+        _set_carrier,
+        finish_ship_accounting,
+        race_grace_if_warm,
+    )
+
     t0 = time.time()
     result = None
+    devd_count_s = None
     if feeder is not None:
         import threading
 
+        race_grace_if_warm(feeder)
         outcome: dict = {}
         done = threading.Event()
 
@@ -281,6 +290,7 @@ def map_count_lowmem(
             if "result" in outcome:
                 result = outcome["result"]
                 carrier = "device"
+                devd_count_s = feeder.devd_count_s
     if result is None:
         result = pair_counts_windowed(
             queries, harrs, ref_len, progress=progress
@@ -289,9 +299,14 @@ def map_count_lowmem(
     timings["compare"] = time.time() - t0
     cbar.finish()
 
-    from phylonium_tpu.core.pipeline import LAST_RUN_INFO, _set_carrier
-
     _set_carrier(carrier)
+    if devd_count_s is not None:
+        LAST_RUN_INFO["devd_count_s"] = devd_count_s
+    # cold-run seeding + early-ship stats (shared with the standard
+    # pipeline): a drained lowmem run parks the whole compacted panel
+    # in the device server and prewarms its program family, so the
+    # next run of the same panel is device-carried from cache
+    finish_ship_accounting(feeder, n, ref_len)
     LAST_RUN_INFO["lowmem"] = {
         "group_rows": group,
         "homologies": int(sum(len(h) for h in harrs)),

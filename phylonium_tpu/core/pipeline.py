@@ -1202,6 +1202,101 @@ def process(
     )
 
 
+def finish_ship_accounting(feeder, n: int, ref_len: int) -> None:
+    """Cold-run seeding + early-ship observability, shared by the
+    standard and low-memory pipelines.
+
+    Under ``PHYLONIUM_TPU_SHIP_DRAIN`` (the bench's cold-run hook) the
+    run stays alive until the whole panel is parked in the device
+    server's content cache — and, when the device never carried a count
+    at this shape, until the daemon's program family is compiled
+    (synchronous ``prewarm``), so the NEXT run of the same panel races
+    hot with zero bytes shipped.  Always records the early-ship stats
+    (groups / MB / MB/s / cache hits) into LAST_RUN_INFO."""
+    import time
+
+    if feeder is None or feeder._shipper is None:
+        return
+    drain_env = os.environ.get("PHYLONIUM_TPU_SHIP_DRAIN")
+    if (
+        drain_env
+        and feeder._shipper.transport == "devd"
+        and not feeder._shipper._cancelled
+    ):
+        t_dr = time.time()
+        budget = float(drain_env)
+        complete = feeder._shipper.drain(budget)
+        drain_info = {
+            "complete": complete,
+            "s": round(time.time() - t_dr, 2),
+        }
+        left = budget - (time.time() - t_dr)
+        if (
+            complete
+            and left > 30.0
+            and LAST_RUN_INFO.get("compare_carrier") != "device"
+        ):
+            # content is parked but the daemon never finished a count
+            # at this shape (the race's abandoned device leg may still
+            # be compiling): block until its jit cache is hot, so the
+            # NEXT run's device leg starts with zero compiles instead
+            # of losing the race to them
+            try:
+                from phylonium_tpu.serve.client import get_client
+
+                reply, _ = get_client().request(
+                    {
+                        "op": "prewarm",
+                        "n": n,
+                        "ref_len": int(ref_len),
+                        # the run's actual feeding-group layout (the
+                        # lowmem pipeline sizes groups from its RSS
+                        # budget; the build programs are per-layout)
+                        "group_rows": feeder._shipper.group_rows,
+                        "sync": True,
+                    },
+                    timeout=left,
+                )
+                drain_info["prewarm_s"] = reply.get("seconds")
+            except Exception as e:  # noqa: BLE001 — best-effort
+                drain_info["prewarm_error"] = repr(e)[:120]
+        LAST_RUN_INFO["ship_drain"] = drain_info
+    mb_s = feeder._shipper.achieved_mb_s()
+    LAST_RUN_INFO["early_ship"] = {
+        "groups": feeder._shipper.shipped_groups(),
+        "mb": round(feeder._shipper.shipped_bytes() / 1e6, 1),
+        "mb_s": round(mb_s, 2) if mb_s else None,
+        "cache_hits": feeder._shipper._hits,
+    }
+
+
+def race_grace_if_warm(feeder) -> None:
+    """On fully cache-warm device-server runs (every group was a daemon
+    content hit), wait briefly for the feeder to dispatch the tail
+    group BEFORE the host race leg claims the core: the ~0.1-0.4 s of
+    host-side prep left in the queue otherwise stretches 3-4x under
+    single-core contention, inflating the device leg's observed tail."""
+    import time
+
+    shipper = feeder._shipper
+    if not (
+        feeder._devd
+        and shipper is not None
+        and shipper._enqueued > 0
+        and shipper._hits == shipper._enqueued
+    ):
+        return
+    _g0 = time.time()
+    ok = feeder.wait_dispatched(
+        float(os.environ.get("PHYLONIUM_TPU_RACE_GRACE_S", "3.0"))
+    )
+    if os.environ.get("PHYLONIUM_TPU_DEBUG"):
+        print(
+            f"race grace: waited {time.time() - _g0:.2f}s drained={ok}",
+            file=sys.stderr,
+        )
+
+
 def _compare_and_finish(
     subject, queries, cfg, ref, states, homologies, timings, feeder
 ) -> EvoCounts:
@@ -1267,32 +1362,7 @@ def _compare_and_finish(
             _set_carrier("host")
             subs, homs = pair_counts_host(states, progress=progress)
         else:
-            shipper = feeder._shipper
-            if (
-                feeder._devd
-                and shipper is not None
-                and shipper._enqueued > 0
-                and shipper._hits == shipper._enqueued
-            ):
-                # fully cache-warm run (every group was a daemon
-                # content hit): let the worker drain the tail group's
-                # prep + dispatch uncontended before the host leg
-                # claims the core — the device leg then only waits on
-                # the daemon's sub-second count
-                _g0 = time.time()
-                ok = feeder.wait_dispatched(
-                    float(
-                        os.environ.get(
-                            "PHYLONIUM_TPU_RACE_GRACE_S", "3.0"
-                        )
-                    )
-                )
-                if os.environ.get("PHYLONIUM_TPU_DEBUG"):
-                    print(
-                        f"race grace: waited {time.time() - _g0:.2f}s "
-                        f"drained={ok}",
-                        file=sys.stderr,
-                    )
+            race_grace_if_warm(feeder)
             subs, homs = _race_host(
                 states, lambda: feeder.finish(progress), progress
             )
@@ -1305,57 +1375,7 @@ def _compare_and_finish(
     timings["compare"] = time.time() - t0
     bar.finish()
 
-    if feeder is not None and feeder._shipper is not None:
-        drain_env = os.environ.get("PHYLONIUM_TPU_SHIP_DRAIN")
-        if (
-            drain_env
-            and feeder._shipper.transport == "devd"
-            and not feeder._shipper._cancelled
-        ):
-            # cold-run seeding (see QueryShipper.drain): stay alive
-            # until the whole panel is parked in the device server, so
-            # the next run of this panel ships zero bytes
-            t_dr = time.time()
-            budget = float(drain_env)
-            complete = feeder._shipper.drain(budget)
-            drain_info = {
-                "complete": complete,
-                "s": round(time.time() - t_dr, 2),
-            }
-            left = budget - (time.time() - t_dr)
-            if (
-                complete
-                and left > 30.0
-                and LAST_RUN_INFO.get("compare_carrier") != "device"
-            ):
-                # content is parked but the daemon never finished a
-                # count at this shape (the race's abandoned device leg
-                # may still be compiling): block until its jit cache is
-                # hot, so the NEXT run's device leg starts with zero
-                # compiles instead of losing the race to them
-                try:
-                    from phylonium_tpu.serve.client import get_client
-
-                    reply, _ = get_client().request(
-                        {
-                            "op": "prewarm",
-                            "n": n,
-                            "ref_len": int(states.shape[1]),
-                            "sync": True,
-                        },
-                        timeout=left,
-                    )
-                    drain_info["prewarm_s"] = reply.get("seconds")
-                except Exception as e:  # noqa: BLE001 — best-effort
-                    drain_info["prewarm_error"] = repr(e)[:120]
-            LAST_RUN_INFO["ship_drain"] = drain_info
-        mb_s = feeder._shipper.achieved_mb_s()
-        LAST_RUN_INFO["early_ship"] = {
-            "groups": feeder._shipper.shipped_groups(),
-            "mb": round(feeder._shipper.shipped_bytes() / 1e6, 1),
-            "mb_s": round(mb_s, 2) if mb_s else None,
-            "cache_hits": feeder._shipper._hits,
-        }
+    finish_ship_accounting(feeder, n, states.shape[1])
 
     if LAST_RUN_INFO.get("compare_carrier") == "host":
         from phylonium_tpu.utils import calibration

@@ -469,10 +469,34 @@ class QueryShipper:
             if done != last_done:
                 last_done, last_progress = done, time.time()
             elif time.time() - last_progress > stall_s:
-                # no group verified for stall_s: the daemon/tunnel is
-                # unhealthy this window — burning the rest of the
-                # timeout seeds nothing
-                return False
+                # no group verified for stall_s.  A daemon this run
+                # spawned may simply still be paying its once-per-
+                # lifetime tunnel warmup (8-200 s) — that is exactly
+                # what a seeding run should wait out, so the stall
+                # clock only counts against a daemon that REPORTS warm;
+                # an unreachable or warm-but-stuck daemon means the
+                # tunnel is unhealthy this window and burning the rest
+                # of the timeout seeds nothing.
+                still_warming = False
+                if self.transport == "devd":
+                    try:
+                        # own connection: the shared client's socket is
+                        # serialized behind the very request that is
+                        # waiting out the warmup
+                        from phylonium_tpu.serve.client import DevdClient
+
+                        probe = DevdClient(spawn=False)
+                        try:
+                            still_warming = not probe.ping(
+                                timeout=10.0
+                            ).get("warm")
+                        finally:
+                            probe.close()
+                    except Exception:  # noqa: BLE001
+                        still_warming = False
+                if not still_warming:
+                    return False
+                last_progress = time.time()  # warmup in progress: wait
             time.sleep(0.25)
         return not self._pending and len(self._verified) >= self._enqueued
 

@@ -457,10 +457,19 @@ class DeviceRowFeeder:
     def cancel(self) -> None:
         """The compare went to the host: stop building/shipping the
         remaining groups (they would waste link bandwidth and CPU the
-        host path needs) and let the worker drain out."""
+        host path needs) and let the worker drain out.
+
+        Under ``PHYLONIUM_TPU_SHIP_DRAIN`` (a cold seeding run) the
+        QUERY shipper stays alive: this run's compare went to the host,
+        but the drain at exit still parks the whole panel in the device
+        server so the NEXT run counts it — a backlog cancel (the lowmem
+        pipeline's bounded queue filling behind a first-shape daemon
+        compile) must not erase the seeding the run exists for."""
         self._gave_up = True
         self._closed = True
-        if self._shipper is not None:
+        if self._shipper is not None and not os.environ.get(
+            "PHYLONIUM_TPU_SHIP_DRAIN"
+        ):
             self._shipper.cancel()  # already-verified groups stay usable
         try:
             self._q.put(None)
@@ -549,12 +558,17 @@ def prewarm_stream(
         _stack_pairs.lower(pair).compile()
 
 
-def prewarm_panel(n: int, ref_len: int) -> None:
+def prewarm_panel(
+    n: int, ref_len: int, group_rows: int | None = None
+) -> None:
     """Compile the full streamed program family for an (n, ref_len)
     panel: the counting kernel at its exact first-call shape plus the
     build/concat/glue programs (:func:`prewarm_stream`).  Used by the
-    device server's background 'prewarm' op; in-process callers go
-    through core/pipeline.prewarm_counts (which owns the cfg gating)."""
+    device server's 'prewarm' op; in-process callers go through
+    core/pipeline.prewarm_counts (which owns the cfg gating).
+    ``group_rows`` pins the feeding-group layout when the run's groups
+    are not the default size (the low-memory pipeline sizes them from
+    its RSS budget) — the build programs are shape-per-layout."""
     import jax
     import jax.numpy as jnp
 
@@ -576,7 +590,7 @@ def prewarm_panel(n: int, ref_len: int) -> None:
             dummy = jnp.full((n_pad, cols), _PACKED_PAD, jnp.uint8)
             out = _pallas_counts(dummy, block, packed=True)
         jax.block_until_ready(out)
-    prewarm_stream(n, ref_len)
+    prewarm_stream(n, ref_len, group_rows=group_rows)
 
 
 def map_pileup_streamed(

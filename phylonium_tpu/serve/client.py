@@ -172,7 +172,16 @@ class DevdClient:
         arrays=(),
         timeout: float = 900.0,
     ) -> tuple[dict, list[np.ndarray]]:
-        with self._lock:
+        # timed lock acquire: the connection serializes requests, and a
+        # race-abandoned `finish` can hold the lock for as long as its
+        # daemon-side compile runs — a caller with a deadline (the
+        # cold-run drain's sync prewarm) must fail bounded, not hang
+        if not self._lock.acquire(timeout=timeout):
+            raise DevdError(
+                f"device server busy: connection lock not acquired "
+                f"within {timeout:.0f}s"
+            )
+        try:
             try:
                 if self._sock is None:
                     self._sock = self._try_connect(2.0)
@@ -190,6 +199,8 @@ class DevdClient:
                         pass
                     self._sock = None
                 raise DevdError(f"device server i/o failed: {e!r}")
+        finally:
+            self._lock.release()
         if not reply.get("ok"):
             if reply.get("poisoned"):
                 # the daemon's device session is permanently broken

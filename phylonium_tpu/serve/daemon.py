@@ -40,7 +40,7 @@ from phylonium_tpu.serve.wire import WireError, recv_msg, send_msg
 # bumped on every protocol / device-program change: a daemon left over
 # from an older build answers ping with its own stamp and the client
 # replaces it instead of hitting unknown ops or stale kernels
-PROTOCOL = "phyd-5"
+PROTOCOL = "phyd-6"
 
 # Device-session errors that can never heal within this process: the
 # daemon's PJRT client was registered against a terminal that has since
@@ -114,6 +114,54 @@ class _State:
 
             self._probe = jax.jit(lambda x: x[:1])
         np.asarray(self._probe(arr.reshape(-1)))
+
+
+def _run_builder(state: _State, run: str, st: dict):
+    """The run's build queue (lazily started worker thread).
+
+    Group builds execute off the connection thread so a `group` reply
+    can return before the (possibly minutes-long, first-shape) compile
+    inside the build program: the client's mapping loop keeps feeding,
+    and `finish` joins the queue before counting."""
+    import queue as _queue
+
+    bq = st.get("bq")
+    if bq is None:
+        bq = st["bq"] = _queue.Queue()
+
+        def work():
+            from phylonium_tpu.ops.pileup_device import (
+                dispatch_build_packed,
+            )
+
+            while True:
+                item = bq.get()
+                try:
+                    if item is None:
+                        return
+                    if st.get("cancelled") or st.get("berror"):
+                        continue
+                    header, arrays = item
+                    if header.get("gidx") is not None:
+                        pd = st["groups"][int(header["gidx"])]
+                        intervals, orow, ocol, oval = arrays
+                    else:
+                        pd, intervals, orow, ocol, oval = arrays
+                    chunk = dispatch_build_packed(
+                        pd, intervals, (orow, ocol, oval),
+                        int(header["ref_len"]), int(header["l2"]),
+                        int(header["width"]),
+                    )
+                    st["chunks"][int(header["seq"])] = chunk
+                except Exception as e:  # noqa: BLE001 — at finish
+                    st["berror"] = repr(e)[:500]
+                finally:
+                    bq.task_done()
+
+        threading.Thread(
+            target=work, daemon=True, name=f"devd-build-{run[:12]}"
+        ).start()
+    return bq
 
 
 def _warmup(state: _State) -> None:
@@ -211,32 +259,28 @@ def _handle(state: _State, header: dict, arrays: list):
         return {"ok": True, "seconds": time.time() - t0}, []
 
     if op == "group":
-        from phylonium_tpu.ops.pileup_device import dispatch_build_packed
-
         run = header["run"]
         st = state.runs.setdefault(run, {"groups": {}, "chunks": {}})
+        st.pop("cancelled", None)  # a -2 second pass reuses the run id
         t0 = time.time()
-        if header.get("gidx") is not None:
-            # query codes already verified resident (qgroup/qhave):
-            # the build is deterministic device compute, so dispatch
-            # ASYNC — finish()'s counting fetch forces the whole chain,
-            # and a failed build surfaces there (host race covers)
-            pd = st["groups"][int(header["gidx"])]
-            intervals, orow, ocol, oval = arrays
-            verify = False
-        else:
+        if header.get("gidx") is None:
+            # raw codes arrive with this group (no qgroup/qhave ride):
+            # ship them NOW so the reply stays the verified-residency
+            # signal the client's link accounting relies on
             intervals, orow, ocol, oval, packed = arrays
             pd = jax.device_put(packed)
-            state.probe_sync(pd)  # honest link accounting for the ship
-            verify = True
-        chunk = dispatch_build_packed(
-            pd, intervals, (orow, ocol, oval),
-            int(header["ref_len"]), int(header["l2"]),
-            int(header["width"]),
-        )
-        if verify:
-            state.probe_sync(chunk)
-        st["chunks"][int(header["seq"])] = chunk
+            state.probe_sync(pd)
+            item = (header, (pd, intervals, orow, ocol, oval))
+        else:
+            item = (header, arrays)
+        # the BUILD is queued to the run's worker thread and the reply
+        # returns immediately: a first-shape compile inside the build
+        # program (minutes through the remote compile service) must
+        # never stall the client's mapping loop — the bounded-backlog
+        # lowmem feeder measurably gave up on exactly that.  finish()
+        # joins the queue; a failed build surfaces there (host race
+        # covers).
+        _run_builder(state, run, st).put(item)
         return {"ok": True, "seconds": time.time() - t0}, []
 
     if op == "finish":
@@ -248,7 +292,15 @@ def _handle(state: _State, header: dict, arrays: list):
 
         run = header["run"]
         st = state.runs.get(run)
-        if st is None or not st["chunks"]:
+        if st is None:
+            return {"ok": False, "error": f"no chunks for run {run}"}, []
+        if st.get("bq") is not None:
+            st["bq"].join()  # every queued build dispatched (or failed)
+        if st.get("berror"):
+            err, st["berror"] = st["berror"], None
+            st["chunks"] = {}
+            return {"ok": False, "error": f"group build failed: {err}"}, []
+        if not st["chunks"]:
             return {"ok": False, "error": f"no chunks for run {run}"}, []
         chunks = tuple(
             st["chunks"][k] for k in sorted(st["chunks"])
@@ -267,14 +319,20 @@ def _handle(state: _State, header: dict, arrays: list):
             subs, homs = blocked_counts_device(chunks, n, **kw)
         # the daemon-side count time (forces the async chunk builds,
         # runs the kernels, fetches the counts) — the client's race
-        # observability separates socket/wait time from device time
-        return {"ok": True, "seconds": round(time.time() - t0, 3)}, [
-            subs, homs,
-        ]
+        # observability separates socket/wait time from device time.
+        # Also logged: a race-abandoned finish never reaches a client,
+        # and its duration is the post-mortem for a lost race.
+        dt = round(time.time() - t0, 3)
+        if os.environ.get("PHYLONIUM_TPU_DEVD_LOG_FINISH", "1") != "0":
+            sys.stderr.write(
+                f"devd: finish n={n} chunks={len(chunks)} {dt}s\n"
+            )
+        return {"ok": True, "seconds": dt}, [subs, homs]
 
     if op == "cancel":
         st = state.runs.get(header.get("run"))
         if st is not None:
+            st["cancelled"] = True  # builder skips queued items
             st["chunks"] = {}  # qgroups stay for a later pass
         return {"ok": True}, []
 
@@ -286,11 +344,15 @@ def _handle(state: _State, header: dict, arrays: list):
         # device leg races with zero compiles; otherwise the compile
         # runs in the BACKGROUND and group builds arriving on this
         # connection meanwhile only need device_put + the tiny probe
+        gr = header.get("group_rows")
+        gr = int(gr) if gr else None
         if header.get("sync"):
             from phylonium_tpu.core.stream import prewarm_panel
 
             t0 = time.time()
-            prewarm_panel(int(header["n"]), int(header["ref_len"]))
+            prewarm_panel(
+                int(header["n"]), int(header["ref_len"]), group_rows=gr
+            )
             return {
                 "ok": True, "seconds": round(time.time() - t0, 2),
             }, []
@@ -300,7 +362,8 @@ def _handle(state: _State, header: dict, arrays: list):
                 from phylonium_tpu.core.stream import prewarm_panel
 
                 prewarm_panel(
-                    int(header["n"]), int(header["ref_len"])
+                    int(header["n"]), int(header["ref_len"]),
+                    group_rows=gr,
                 )
             except Exception as e:  # noqa: BLE001
                 sys.stderr.write(f"devd: prewarm failed: {e!r}\n")
@@ -424,7 +487,9 @@ def _serve_conn(state: _State, conn: socket.socket, activity) -> None:
     finally:
         conn.close()
         for run in touched:  # per-connection state, never leaks
-            state.runs.pop(run, None)
+            st = state.runs.pop(run, None)
+            if st is not None and st.get("bq") is not None:
+                st["bq"].put(None)  # builder thread exits
 
 
 if __name__ == "__main__":
