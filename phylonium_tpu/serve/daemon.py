@@ -489,7 +489,11 @@ def _serve_conn(state: _State, conn: socket.socket, activity) -> None:
         for run in touched:  # per-connection state, never leaks
             st = state.runs.pop(run, None)
             if st is not None and st.get("bq") is not None:
-                st["bq"].put(None)  # builder thread exits
+                # skip still-queued builds (nobody will count them —
+                # and their compiles would steal the 1-core host from
+                # the NEXT run), then let the builder thread exit
+                st["cancelled"] = True
+                st["bq"].put(None)
 
 
 if __name__ == "__main__":
