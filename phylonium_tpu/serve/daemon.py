@@ -141,6 +141,13 @@ def _run_builder(state: _State, run: str, st: dict):
                         return
                     if st.get("cancelled") or st.get("berror"):
                         continue
+                    if (
+                        os.environ.get("PHYLONIUM_TPU_DEVD_INJECT")
+                        == "slow_build"
+                    ):
+                        # fault injection (tests): a first-shape compile
+                        # inside the build program
+                        time.sleep(3.0)
                     header, arrays = item
                     if header.get("gidx") is not None:
                         pd = st["groups"][int(header["gidx"])]

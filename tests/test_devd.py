@@ -263,6 +263,96 @@ def test_shipper_drain_parks_whole_panel(rng, devd_env, monkeypatch):
     assert shipper2._hits == 3 and shipper2.shipped_bytes() == 0
 
 
+def test_slow_build_never_stalls_group_replies(rng, tmp_path, monkeypatch):
+    """The daemon queues group builds to a per-run worker thread: a
+    slow build (first-shape compile, minutes in production) must not
+    stall the `group` reply — the lowmem pipeline's 1-2 item backlog
+    measurably cancelled the whole device leg on exactly that.  With a
+    3 s injected build delay and max_backlog=1, every feed must be
+    accepted and finish() must still return oracle-exact counts."""
+    from phylonium_tpu.core.stream import DeviceRowFeeder
+
+    sock = str(tmp_path / "devd.sock")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
+    env["PHYLONIUM_TPU_DEVD_SOCK"] = sock
+    env["PHYLONIUM_TPU_PLATFORM"] = "cpu"
+    env["PHYLONIUM_TPU_DEVD_INJECT"] = "slow_build"
+    log = open(tmp_path / "devd.log", "wb")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "phylonium_tpu.serve"],
+        stdout=log, stderr=log, env=env,
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and not os.path.exists(sock):
+            assert proc.poll() is None, "daemon died before serving"
+            time.sleep(0.1)
+        monkeypatch.setenv("PHYLONIUM_TPU_DEVD_SOCK", sock)
+        monkeypatch.setenv("PHYLONIUM_TPU_DEVD", "1")
+        import phylonium_tpu.serve.client as cl
+
+        monkeypatch.setattr(cl, "_client", None)
+
+        n, length = 9, 600
+        queries, homologies = _panel(rng, n, length)
+        feeder = DeviceRowFeeder(
+            n, length, interpret=True, max_backlog=1
+        )
+        t0 = time.time()
+        for lo in (0, 3, 6):
+            feeder.feed(queries[lo : lo + 3], homologies[lo : lo + 3])
+            # the worker must drain each item at socket speed (reply
+            # returns before the injected 3 s build), else the bounded
+            # backlog cancels the feeder
+            deadline = time.time() + 10
+            while feeder._q.qsize() > 0 and time.time() < deadline:
+                time.sleep(0.02)
+        assert not feeder._gave_up, "backlog cancelled the device leg"
+        assert time.time() - t0 < 9.0, "group replies waited on builds"
+        subs, homs = feeder.finish()  # joins the 3 x 3 s build queue
+        states = build_pileup(queries, homologies, length)
+        es, eh = pair_counts_numpy(states)
+        np.testing.assert_array_equal(subs, es)
+        np.testing.assert_array_equal(homs, eh)
+        cl._client.close()
+        cl._client = None
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        try:
+            proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+        log.close()
+
+
+def test_cancel_keeps_shipper_alive_under_drain(rng, devd_env, monkeypatch):
+    """A feeder cancel during a drained (seeding) run must not kill the
+    query shipper: the run's whole purpose is parking the panel for the
+    next run, and the backlog cancel used to erase it."""
+    from phylonium_tpu.core.query_ship import QueryShipper
+    from phylonium_tpu.core.stream import DeviceRowFeeder
+
+    n = 6
+    queries, _ = _panel(rng, n, 500)
+    monkeypatch.setenv("PHYLONIUM_TPU_STREAM_GROUP", "3")
+
+    monkeypatch.delenv("PHYLONIUM_TPU_SHIP_DRAIN", raising=False)
+    shipper = QueryShipper(n)
+    feeder = DeviceRowFeeder(n, 500, interpret=True, shipper=shipper)
+    feeder.cancel()
+    assert shipper._cancelled, "plain cancel must stop the shipper"
+
+    monkeypatch.setenv("PHYLONIUM_TPU_SHIP_DRAIN", "30")
+    shipper2 = QueryShipper(n)
+    for q in queries:
+        shipper2.add(q)
+    feeder2 = DeviceRowFeeder(n, 500, interpret=True, shipper=shipper2)
+    feeder2.cancel()
+    assert not shipper2._cancelled, "drain run must keep seeding"
+    assert shipper2.drain(30.0) is True  # panel still parks fully
+
+
 def test_poisoned_daemon_tells_client_and_exits(tmp_path, monkeypatch):
     """An unhealable device-session error (libtpu version mismatch after
     a terminal restart — observed in production) must not leave a
