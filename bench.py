@@ -468,8 +468,14 @@ def e2e_lowmem_tier(
             if stdout0 is None:
                 stdout0 = r_ours.stdout
             elif r_ours.stdout != stdout0:
-                sys.stderr.write(f"e2e_n{n}: rep {k} stdout differs!\n")
-                return {}
+                # a cross-run parity violation is a five-alarm bug —
+                # raise so guard() records it and the degraded flag
+                # fires (returning {} would print a clean-looking JSON
+                # with the tier silently absent)
+                raise RuntimeError(
+                    f"e2e_n{n}: rep {k} stdout differs from rep 0 "
+                    "(cross-run byte-identity violated)"
+                )
             times.append(round(t_ours, 2))
             for ln in r_ours.stderr.splitlines():
                 if ln.startswith(b"RSSWRAP "):

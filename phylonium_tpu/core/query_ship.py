@@ -479,21 +479,32 @@ class QueryShipper:
                 # of the timeout seeds nothing.
                 still_warming = False
                 if self.transport == "devd":
-                    try:
-                        # own connection: the shared client's socket is
-                        # serialized behind the very request that is
-                        # waiting out the warmup
-                        from phylonium_tpu.serve.client import DevdClient
+                    # an in-flight request on the shared client (a
+                    # race-abandoned finish compiling for minutes, or
+                    # this shipper's own qgroup) means the daemon is
+                    # busy with OUR work — progress, not a wedge
+                    import phylonium_tpu.serve.client as _cl
 
-                        probe = DevdClient(spawn=False)
+                    if _cl._client is not None and _cl._client.inflight:
+                        still_warming = True
+                    else:
                         try:
-                            still_warming = not probe.ping(
-                                timeout=10.0
-                            ).get("warm")
-                        finally:
-                            probe.close()
-                    except Exception:  # noqa: BLE001
-                        still_warming = False
+                            # own connection: the shared client's
+                            # socket is serialized behind the very
+                            # request that is waiting out the warmup
+                            from phylonium_tpu.serve.client import (
+                                DevdClient,
+                            )
+
+                            probe = DevdClient(spawn=False)
+                            try:
+                                still_warming = not probe.ping(
+                                    timeout=10.0
+                                ).get("warm")
+                            finally:
+                                probe.close()
+                        except Exception:  # noqa: BLE001
+                            still_warming = False
                 if not still_warming:
                     return False
                 last_progress = time.time()  # warmup in progress: wait

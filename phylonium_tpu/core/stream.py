@@ -291,6 +291,10 @@ class DeviceRowFeeder:
                 header = {
                     "op": "group",
                     "run": self._run_id,
+                    # per-feeder generation: a -2 second pass reuses the
+                    # run id (resident qgroups) but must reset the
+                    # daemon's builder state (see daemon._handle 'group')
+                    "gen": id(self),
                     "seq": lo,
                     "ref_len": self.ref_len,
                     "l2": self.l2,

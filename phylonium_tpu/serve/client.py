@@ -55,6 +55,11 @@ class DevdClient:
     def __init__(self, path: str | None = None, spawn: bool = True):
         self.path = path or sock_path()
         self._lock = threading.Lock()
+        # a request is executing on this connection right now — the
+        # drain's stall probe reads it: a daemon busy with OUR request
+        # (e.g. a race-abandoned finish compiling for minutes) is
+        # progress to wait out, not a wedged tunnel
+        self.inflight = False
         self._sock = self._connect(spawn)
 
     def _try_connect(self, timeout: float):
@@ -181,6 +186,7 @@ class DevdClient:
                 f"device server busy: connection lock not acquired "
                 f"within {timeout:.0f}s"
             )
+        self.inflight = True
         try:
             try:
                 if self._sock is None:
@@ -200,6 +206,7 @@ class DevdClient:
                     self._sock = None
                 raise DevdError(f"device server i/o failed: {e!r}")
         finally:
+            self.inflight = False
             self._lock.release()
         if not reply.get("ok"):
             if reply.get("poisoned"):

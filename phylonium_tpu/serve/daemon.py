@@ -130,10 +130,17 @@ def _run_builder(state: _State, run: str, st: dict):
         bq = st["bq"] = _queue.Queue()
 
         def work():
-            from phylonium_tpu.ops.pileup_device import (
-                dispatch_build_packed,
-            )
-
+            # the import itself can fail (broken plugin/partial
+            # install): record it as a build error and KEEP draining
+            # the queue — a dead worker that stops calling task_done
+            # would block finish()'s join forever
+            build = None
+            try:
+                from phylonium_tpu.ops.pileup_device import (
+                    dispatch_build_packed as build,
+                )
+            except Exception as e:  # noqa: BLE001
+                st["berror"] = repr(e)[:500]
             while True:
                 item = bq.get()
                 try:
@@ -154,14 +161,24 @@ def _run_builder(state: _State, run: str, st: dict):
                         intervals, orow, ocol, oval = arrays
                     else:
                         pd, intervals, orow, ocol, oval = arrays
-                    chunk = dispatch_build_packed(
+                    chunk = build(
                         pd, intervals, (orow, ocol, oval),
                         int(header["ref_len"]), int(header["l2"]),
                         int(header["width"]),
                     )
                     st["chunks"][int(header["seq"])] = chunk
                 except Exception as e:  # noqa: BLE001 — at finish
-                    st["berror"] = repr(e)[:500]
+                    err = repr(e)[:500]
+                    st["berror"] = err
+                    # poison detection must not be bypassed by the
+                    # thread hop: an unhealable session error here used
+                    # to raise through _handle and retire the daemon
+                    if _is_poison(err) and state.poisoned is None:
+                        state.poisoned = err[:300]
+                        sys.stderr.write(
+                            f"devd: session poisoned (build), "
+                            f"exiting: {err}\n"
+                        )
                 finally:
                     bq.task_done()
 
@@ -268,7 +285,18 @@ def _handle(state: _State, header: dict, arrays: list):
     if op == "group":
         run = header["run"]
         st = state.runs.setdefault(run, {"groups": {}, "chunks": {}})
-        st.pop("cancelled", None)  # a -2 second pass reuses the run id
+        # a -2 second pass reuses the run id (so its qgroups stay
+        # resident) but sends a fresh generation token: reset the
+        # builder state once per generation — a stale pass-1 cancel or
+        # build error must not kill pass 2, while WITHIN a pass a build
+        # error stays sticky (clearing it mid-pass would let finish
+        # count a silently partial chunk set)
+        gen = header.get("gen")
+        if gen is not None and st.get("gen") != gen:
+            st["gen"] = gen
+            st.pop("cancelled", None)
+            st.pop("berror", None)
+            st["chunks"] = {}
         t0 = time.time()
         if header.get("gidx") is None:
             # raw codes arrive with this group (no qgroup/qhave ride):
