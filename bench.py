@@ -1275,11 +1275,16 @@ def _run_bench(n, length, detail, failures):
     if use_pallas:
         if _rem() > 240:
             _mark("micro: steady (1st burst)")
+            # no same-stage retry: the SECOND burst minutes later is the
+            # retry by design, and a back-to-back retry in a degraded
+            # window burned 840 s and budget-starved the n=1000 tier.
+            # 600 s timeout: the run is ~136 s of which ~95% is the
+            # fresh-process session penalty, which swings past 420 s in
+            # degraded windows (three such timeouts recorded)
             steady_samples = list(
                 run_micro(
                     "steady", {"npy": npy}, failures,
-                    timeout_s=_clamp(420),
-                    retries=1 if _rem() > 1200 else 0,
+                    timeout_s=_clamp(600), retries=0,
                 ).get("steady_samples", [])
             )
         else:
