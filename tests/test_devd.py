@@ -439,6 +439,41 @@ def test_devd_cli_byte_identical(tmp_path, devd_env, monkeypatch):
     assert streamed == serial
 
 
+def test_devd_cli_drain_seeds_and_prewarms(tmp_path, devd_env, monkeypatch):
+    """A drained (cold seeding) CLI run must park the whole panel in the
+    daemon AND sync-prewarm its program family before exiting — the run
+    report carries both; a second run is then all cache hits."""
+    import phylonium_tpu.core.pipeline as pl
+    from phylonium_tpu.cli import main
+
+    files = _write_panel(tmp_path, 8, 2000, seed=31)
+    monkeypatch.setenv("PHYLONIUM_TPU_STREAM", "force")
+    monkeypatch.setenv("PHYLONIUM_TPU_STREAM_GROUP", "4")
+    monkeypatch.setenv("PHYLONIUM_TPU_SHIP_DRAIN", "60")
+
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        rc = main(["--progress=never", *files])
+    assert rc == 0
+    drain = pl.LAST_RUN_INFO.get("ship_drain")
+    assert drain is not None and drain["complete"] is True
+    # either the race's own device finish compiled the family (carrier
+    # device -> prewarm skipped) or the sync prewarm ran and reported
+    if pl.LAST_RUN_INFO.get("compare_carrier") != "device":
+        assert "prewarm_s" in drain, drain
+    ship = pl.LAST_RUN_INFO.get("early_ship")
+    assert ship is not None and ship["groups"] == 2
+
+    monkeypatch.delenv("PHYLONIUM_TPU_SHIP_DRAIN")
+    out2 = io.StringIO()
+    with contextlib.redirect_stdout(out2):
+        rc2 = main(["--progress=never", *files])
+    assert rc2 == 0
+    assert out2.getvalue() == out.getvalue()
+    ship2 = pl.LAST_RUN_INFO.get("early_ship")
+    assert ship2["cache_hits"] == 2 and ship2["mb"] == 0.0
+
+
 def test_devd_failure_degrades_to_host(rng, tmp_path, monkeypatch):
     """No daemon + spawn impossible: the feeder's finish raises, the
     race covers on the host path, the CLI output stays byte-identical."""
