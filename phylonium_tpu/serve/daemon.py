@@ -40,7 +40,7 @@ from phylonium_tpu.serve.wire import WireError, recv_msg, send_msg
 # bumped on every protocol / device-program change: a daemon left over
 # from an older build answers ping with its own stamp and the client
 # replaces it instead of hitting unknown ops or stale kernels
-PROTOCOL = "phyd-7"
+PROTOCOL = "phyd-8"
 
 # Device-session errors that can never heal within this process: the
 # daemon's PJRT client was registered against a terminal that has since
