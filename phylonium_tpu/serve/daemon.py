@@ -7,19 +7,27 @@ Run as ``python -m phylonium_tpu.serve``.  Binds a unix socket (default
 
     ping                                -> {ok, warm, platform, pid}
     qgroup  {run, gidx} + [packed, sep] -> verified device residency
-    group   {run, seq, gidx?, ref_len, l2, width}
+    group   {run, gen, seq, gidx?, ref_len, l2, width}
             + [intervals] (+ [packed, sep] when not pre-shipped)
-                                        -> builds + verifies one pileup
-                                           row chunk on device
-    finish  {run, n, flat, block}       -> counts on the resident
-                                           chunks; replies [subs, homs]
+                                        -> enqueues one pileup row-chunk
+                                           build (per-run worker thread;
+                                           raw codes are shipped +
+                                           residency-verified before the
+                                           reply, the BUILD is not — a
+                                           first-shape compile must
+                                           never stall the client's
+                                           mapping loop)
+    finish  {run, n, flat, block}       -> joins the build queue, counts
+                                           on the resident chunks;
+                                           replies [subs, homs]
     cancel  {run}                       -> drops the run's device state
 
 One client connection is served at a time (CLI runs are sequential);
 all state is per-connection and dropped when the client disconnects, so
 a crashed CLI can never leak panels into the next run.  Replies to
-qgroup/group are sent only after a sync-probed fetch proves residency —
-the client's shipped accounting stays honest.  Device failures answer
+qgroup (and the raw-codes ship inside group) are sent only after a
+sync-probed fetch proves residency — the client's shipped accounting
+stays honest.  Build failures surface at finish; device failures answer
 ``{ok: false, error: ...}``; the daemon itself stays up (the client's
 host race absorbs the miss).  Exits after 30 idle minutes
 (``PHYLONIUM_TPU_DEVD_IDLE_S``).
